@@ -1,0 +1,344 @@
+"""Default configuration tree.
+
+Mirrors the reference key space 1:1 (mega_core/config/defaults.py:21-544) so the
+reference's yaml configs load unchanged, plus a TPU namespace for the fixed-shape /
+sharding knobs that a padded, jit-compiled pipeline needs and the reference never had.
+"""
+
+import math
+
+from .node import ConfigNode
+
+_C = ConfigNode()
+
+_C.MODEL = ConfigNode()
+_C.MODEL.RPN_ONLY = False
+_C.MODEL.MASK_ON = False
+_C.MODEL.RETINANET_ON = False
+_C.MODEL.KEYPOINT_ON = False
+_C.MODEL.DEVICE = "tpu"
+_C.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+_C.MODEL.CLS_AGNOSTIC_BBOX_REG = False
+_C.MODEL.WEIGHT = ""
+
+# ---------------------------------------------------------------------------
+# INPUT
+# ---------------------------------------------------------------------------
+_C.INPUT = ConfigNode()
+_C.INPUT.MIN_SIZE_TRAIN = (800,)
+_C.INPUT.MAX_SIZE_TRAIN = 1333
+_C.INPUT.MIN_SIZE_TEST = 800
+_C.INPUT.MAX_SIZE_TEST = 1333
+_C.INPUT.PIXEL_MEAN = [102.9801, 115.9465, 122.7717]
+_C.INPUT.PIXEL_STD = [1.0, 1.0, 1.0]
+_C.INPUT.TO_BGR255 = True
+_C.INPUT.BRIGHTNESS = 0.0
+_C.INPUT.CONTRAST = 0.0
+_C.INPUT.SATURATION = 0.0
+_C.INPUT.HUE = 0.0
+_C.INPUT.HORIZONTAL_FLIP_PROB_TRAIN = 0.5
+_C.INPUT.VERTICAL_FLIP_PROB_TRAIN = 0.0
+
+# ---------------------------------------------------------------------------
+# Datasets / loader
+# ---------------------------------------------------------------------------
+_C.DATASETS = ConfigNode()
+_C.DATASETS.TRAIN = ()
+_C.DATASETS.TEST = ()
+
+_C.DATALOADER = ConfigNode()
+_C.DATALOADER.NUM_WORKERS = 4
+_C.DATALOADER.SIZE_DIVISIBILITY = 0
+_C.DATALOADER.ASPECT_RATIO_GROUPING = True
+
+# ---------------------------------------------------------------------------
+# Backbone
+# ---------------------------------------------------------------------------
+_C.MODEL.BACKBONE = ConfigNode()
+_C.MODEL.BACKBONE.CONV_BODY = "R-50-C4"
+_C.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 2
+
+_C.MODEL.FPN = ConfigNode()
+_C.MODEL.FPN.USE_GN = False
+_C.MODEL.FPN.USE_RELU = False
+
+_C.MODEL.GROUP_NORM = ConfigNode()
+_C.MODEL.GROUP_NORM.DIM_PER_GP = -1
+_C.MODEL.GROUP_NORM.NUM_GROUPS = 32
+_C.MODEL.GROUP_NORM.EPSILON = 1e-5
+
+# ---------------------------------------------------------------------------
+# RPN
+# ---------------------------------------------------------------------------
+_C.MODEL.RPN = ConfigNode()
+_C.MODEL.RPN.USE_FPN = False
+_C.MODEL.RPN.ANCHOR_SIZES = (32, 64, 128, 256, 512)
+_C.MODEL.RPN.ANCHOR_STRIDE = (16,)
+_C.MODEL.RPN.ASPECT_RATIOS = (0.5, 1.0, 2.0)
+_C.MODEL.RPN.STRADDLE_THRESH = 0
+_C.MODEL.RPN.FG_IOU_THRESHOLD = 0.7
+_C.MODEL.RPN.BG_IOU_THRESHOLD = 0.3
+_C.MODEL.RPN.BATCH_SIZE_PER_IMAGE = 256
+_C.MODEL.RPN.POSITIVE_FRACTION = 0.5
+_C.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = 12000
+_C.MODEL.RPN.PRE_NMS_TOP_N_TEST = 6000
+_C.MODEL.RPN.POST_NMS_TOP_N_TRAIN = 2000
+_C.MODEL.RPN.POST_NMS_TOP_N_TEST = 1000
+_C.MODEL.RPN.NMS_THRESH = 0.7
+_C.MODEL.RPN.MIN_SIZE = 0
+_C.MODEL.RPN.FPN_POST_NMS_TOP_N_TRAIN = 2000
+_C.MODEL.RPN.FPN_POST_NMS_TOP_N_TEST = 2000
+_C.MODEL.RPN.FPN_POST_NMS_PER_BATCH = True
+_C.MODEL.RPN.RPN_HEAD = "SingleConvRPNHead"
+
+# ---------------------------------------------------------------------------
+# ROI heads
+# ---------------------------------------------------------------------------
+_C.MODEL.ROI_HEADS = ConfigNode()
+_C.MODEL.ROI_HEADS.USE_FPN = False
+_C.MODEL.ROI_HEADS.FG_IOU_THRESHOLD = 0.5
+_C.MODEL.ROI_HEADS.BG_IOU_THRESHOLD = 0.5
+_C.MODEL.ROI_HEADS.BBOX_REG_WEIGHTS = (10.0, 10.0, 5.0, 5.0)
+_C.MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE = 512
+_C.MODEL.ROI_HEADS.POSITIVE_FRACTION = 0.25
+_C.MODEL.ROI_HEADS.SCORE_THRESH = 0.05
+_C.MODEL.ROI_HEADS.NMS = 0.5
+_C.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = 100
+
+_C.MODEL.ROI_BOX_HEAD = ConfigNode()
+_C.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR = "ResNet50Conv5ROIFeatureExtractor"
+_C.MODEL.ROI_BOX_HEAD.PREDICTOR = "FastRCNNPredictor"
+_C.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 14
+_C.MODEL.ROI_BOX_HEAD.POOLER_SAMPLING_RATIO = 0
+_C.MODEL.ROI_BOX_HEAD.POOLER_SCALES = (1.0 / 16,)
+_C.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 81
+_C.MODEL.ROI_BOX_HEAD.MLP_HEAD_DIM = 1024
+_C.MODEL.ROI_BOX_HEAD.USE_GN = False
+_C.MODEL.ROI_BOX_HEAD.DILATION = 1
+_C.MODEL.ROI_BOX_HEAD.CONV_HEAD_DIM = 256
+_C.MODEL.ROI_BOX_HEAD.NUM_STACKED_CONVS = 4
+
+_C.MODEL.ROI_MASK_HEAD = ConfigNode()
+_C.MODEL.ROI_MASK_HEAD.FEATURE_EXTRACTOR = "ResNet50Conv5ROIFeatureExtractor"
+_C.MODEL.ROI_MASK_HEAD.PREDICTOR = "MaskRCNNC4Predictor"
+_C.MODEL.ROI_MASK_HEAD.POOLER_RESOLUTION = 14
+_C.MODEL.ROI_MASK_HEAD.POOLER_SAMPLING_RATIO = 0
+_C.MODEL.ROI_MASK_HEAD.POOLER_SCALES = (1.0 / 16,)
+_C.MODEL.ROI_MASK_HEAD.MLP_HEAD_DIM = 1024
+_C.MODEL.ROI_MASK_HEAD.CONV_LAYERS = (256, 256, 256, 256)
+_C.MODEL.ROI_MASK_HEAD.RESOLUTION = 14
+_C.MODEL.ROI_MASK_HEAD.SHARE_BOX_FEATURE_EXTRACTOR = True
+_C.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS = False
+_C.MODEL.ROI_MASK_HEAD.POSTPROCESS_MASKS_THRESHOLD = 0.5
+_C.MODEL.ROI_MASK_HEAD.DILATION = 1
+_C.MODEL.ROI_MASK_HEAD.USE_GN = False
+
+_C.MODEL.ROI_KEYPOINT_HEAD = ConfigNode()
+_C.MODEL.ROI_KEYPOINT_HEAD.FEATURE_EXTRACTOR = "KeypointRCNNFeatureExtractor"
+_C.MODEL.ROI_KEYPOINT_HEAD.PREDICTOR = "KeypointRCNNPredictor"
+_C.MODEL.ROI_KEYPOINT_HEAD.POOLER_RESOLUTION = 14
+_C.MODEL.ROI_KEYPOINT_HEAD.POOLER_SAMPLING_RATIO = 0
+_C.MODEL.ROI_KEYPOINT_HEAD.POOLER_SCALES = (1.0 / 16,)
+_C.MODEL.ROI_KEYPOINT_HEAD.MLP_HEAD_DIM = 1024
+_C.MODEL.ROI_KEYPOINT_HEAD.CONV_LAYERS = tuple(512 for _ in range(8))
+_C.MODEL.ROI_KEYPOINT_HEAD.RESOLUTION = 14
+_C.MODEL.ROI_KEYPOINT_HEAD.NUM_CLASSES = 17
+_C.MODEL.ROI_KEYPOINT_HEAD.SHARE_BOX_FEATURE_EXTRACTOR = True
+
+# ---------------------------------------------------------------------------
+# ResNet
+# ---------------------------------------------------------------------------
+_C.MODEL.RESNETS = ConfigNode()
+_C.MODEL.RESNETS.NUM_GROUPS = 1
+_C.MODEL.RESNETS.WIDTH_PER_GROUP = 64
+_C.MODEL.RESNETS.STRIDE_IN_1X1 = True
+_C.MODEL.RESNETS.TRANS_FUNC = "BottleneckWithFixedBatchNorm"
+_C.MODEL.RESNETS.STEM_FUNC = "StemWithFixedBatchNorm"
+_C.MODEL.RESNETS.RES5_DILATION = 1
+_C.MODEL.RESNETS.BACKBONE_OUT_CHANNELS = 256 * 4
+_C.MODEL.RESNETS.RES2_OUT_CHANNELS = 256
+_C.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
+_C.MODEL.RESNETS.STAGE_WITH_DCN = (False, False, False, False)
+_C.MODEL.RESNETS.WITH_MODULATED_DCN = False
+_C.MODEL.RESNETS.DEFORMABLE_GROUPS = 1
+
+# ---------------------------------------------------------------------------
+# RetinaNet
+# ---------------------------------------------------------------------------
+_C.MODEL.RETINANET = ConfigNode()
+_C.MODEL.RETINANET.NUM_CLASSES = 81
+_C.MODEL.RETINANET.ANCHOR_SIZES = (32, 64, 128, 256, 512)
+_C.MODEL.RETINANET.ASPECT_RATIOS = (0.5, 1.0, 2.0)
+_C.MODEL.RETINANET.ANCHOR_STRIDES = (8, 16, 32, 64, 128)
+_C.MODEL.RETINANET.STRADDLE_THRESH = 0
+_C.MODEL.RETINANET.OCTAVE = 2.0
+_C.MODEL.RETINANET.SCALES_PER_OCTAVE = 3
+_C.MODEL.RETINANET.USE_C5 = True
+_C.MODEL.RETINANET.NUM_CONVS = 4
+_C.MODEL.RETINANET.BBOX_REG_WEIGHT = 4.0
+_C.MODEL.RETINANET.BBOX_REG_BETA = 0.11
+_C.MODEL.RETINANET.PRE_NMS_TOP_N = 1000
+_C.MODEL.RETINANET.FG_IOU_THRESHOLD = 0.5
+_C.MODEL.RETINANET.BG_IOU_THRESHOLD = 0.4
+_C.MODEL.RETINANET.LOSS_ALPHA = 0.25
+_C.MODEL.RETINANET.LOSS_GAMMA = 2.0
+_C.MODEL.RETINANET.PRIOR_PROB = 0.01
+_C.MODEL.RETINANET.INFERENCE_TH = 0.05
+_C.MODEL.RETINANET.NMS_TH = 0.4
+
+# ---------------------------------------------------------------------------
+# FBNet (kept for config compatibility; mobile backbone)
+# ---------------------------------------------------------------------------
+_C.MODEL.FBNET = ConfigNode()
+_C.MODEL.FBNET.ARCH = "default"
+_C.MODEL.FBNET.ARCH_DEF = ""
+_C.MODEL.FBNET.BN_TYPE = "bn"
+_C.MODEL.FBNET.SCALE_FACTOR = 1.0
+_C.MODEL.FBNET.WIDTH_DIVISOR = 1
+_C.MODEL.FBNET.DW_CONV_SKIP_BN = True
+_C.MODEL.FBNET.DW_CONV_SKIP_RELU = True
+_C.MODEL.FBNET.DET_HEAD_LAST_SCALE = 1.0
+_C.MODEL.FBNET.DET_HEAD_BLOCKS = []
+_C.MODEL.FBNET.DET_HEAD_STRIDE = 0
+_C.MODEL.FBNET.KPTS_HEAD_LAST_SCALE = 0.0
+_C.MODEL.FBNET.KPTS_HEAD_BLOCKS = []
+_C.MODEL.FBNET.KPTS_HEAD_STRIDE = 0
+_C.MODEL.FBNET.MASK_HEAD_LAST_SCALE = 0.0
+_C.MODEL.FBNET.MASK_HEAD_BLOCKS = []
+_C.MODEL.FBNET.MASK_HEAD_STRIDE = 0
+_C.MODEL.FBNET.RPN_HEAD_BLOCKS = 0
+_C.MODEL.FBNET.RPN_BN_TYPE = ""
+
+# ---------------------------------------------------------------------------
+# VID (video detection methods) — mega_core/config/defaults.py:390-463
+# ---------------------------------------------------------------------------
+_C.MODEL.VID = ConfigNode()
+_C.MODEL.VID.ENABLE = False
+_C.MODEL.VID.METHOD = "base"
+_C.MODEL.VID.IGNORE = False
+_C.MODEL.VID.FLOWNET_WEIGHT = "models/flownet.ckpt"
+
+_C.MODEL.VID.ROI_BOX_HEAD = ConfigNode()
+_C.MODEL.VID.ROI_BOX_HEAD.REDUCE_CHANNEL = False
+
+_C.MODEL.VID.ROI_BOX_HEAD.ATTENTION = ConfigNode()
+_C.MODEL.VID.ROI_BOX_HEAD.ATTENTION.ENABLE = False
+_C.MODEL.VID.ROI_BOX_HEAD.ATTENTION.EMBED_DIM = 64
+_C.MODEL.VID.ROI_BOX_HEAD.ATTENTION.GROUP = 16
+_C.MODEL.VID.ROI_BOX_HEAD.ATTENTION.STAGE = 2
+_C.MODEL.VID.ROI_BOX_HEAD.ATTENTION.ADVANCED_STAGE = 0
+
+_C.MODEL.VID.RPN = ConfigNode()
+_C.MODEL.VID.RPN.REF_PRE_NMS_TOP_N = 6000
+_C.MODEL.VID.RPN.REF_POST_NMS_TOP_N = 75
+
+_C.MODEL.VID.RDN = ConfigNode()
+_C.MODEL.VID.RDN.MIN_OFFSET = -18
+_C.MODEL.VID.RDN.MAX_OFFSET = 18
+_C.MODEL.VID.RDN.ALL_FRAME_INTERVAL = 37
+_C.MODEL.VID.RDN.KEY_FRAME_LOCATION = 18
+_C.MODEL.VID.RDN.REF_NUM = 2
+_C.MODEL.VID.RDN.RATIO = 0.2
+
+_C.MODEL.VID.MEGA = ConfigNode()
+_C.MODEL.VID.MEGA.MIN_OFFSET = -12
+_C.MODEL.VID.MEGA.MAX_OFFSET = 12
+_C.MODEL.VID.MEGA.ALL_FRAME_INTERVAL = 25
+_C.MODEL.VID.MEGA.KEY_FRAME_LOCATION = 12
+_C.MODEL.VID.MEGA.MEMORY = ConfigNode()
+_C.MODEL.VID.MEGA.MEMORY.ENABLE = True
+_C.MODEL.VID.MEGA.MEMORY.SIZE = 25
+_C.MODEL.VID.MEGA.GLOBAL = ConfigNode()
+_C.MODEL.VID.MEGA.GLOBAL.RES_STAGE = 1
+_C.MODEL.VID.MEGA.GLOBAL.ENABLE = True
+_C.MODEL.VID.MEGA.GLOBAL.SIZE = 10
+_C.MODEL.VID.MEGA.GLOBAL.SHUFFLE = True
+_C.MODEL.VID.MEGA.REF_NUM_LOCAL = 2
+_C.MODEL.VID.MEGA.REF_NUM_MEM = 3
+_C.MODEL.VID.MEGA.REF_NUM_GLOBAL = 2
+_C.MODEL.VID.MEGA.RATIO = 0.2
+
+_C.MODEL.VID.FGFA = ConfigNode()
+_C.MODEL.VID.FGFA.MIN_OFFSET = -9
+_C.MODEL.VID.FGFA.MAX_OFFSET = 9
+_C.MODEL.VID.FGFA.ALL_FRAME_INTERVAL = 19
+_C.MODEL.VID.FGFA.KEY_FRAME_LOCATION = 9
+_C.MODEL.VID.FGFA.REF_NUM = 2
+
+_C.MODEL.VID.DFF = ConfigNode()
+_C.MODEL.VID.DFF.MIN_OFFSET = -9
+_C.MODEL.VID.DFF.MAX_OFFSET = 0
+_C.MODEL.VID.DFF.KEY_FRAME_INTERVAL = 10
+
+# ---------------------------------------------------------------------------
+# Solver
+# ---------------------------------------------------------------------------
+_C.SOLVER = ConfigNode()
+_C.SOLVER.MAX_ITER = 40000
+_C.SOLVER.BASE_LR = 0.001
+_C.SOLVER.BIAS_LR_FACTOR = 2
+_C.SOLVER.MOMENTUM = 0.9
+_C.SOLVER.WEIGHT_DECAY = 0.0005
+_C.SOLVER.WEIGHT_DECAY_BIAS = 0.0
+_C.SOLVER.GAMMA = 0.1
+_C.SOLVER.STEPS = (30000,)
+_C.SOLVER.WARMUP_FACTOR = 1.0 / 3
+_C.SOLVER.WARMUP_ITERS = 500
+_C.SOLVER.WARMUP_METHOD = "linear"
+_C.SOLVER.CHECKPOINT_PERIOD = 2500
+_C.SOLVER.TEST_PERIOD = 0
+_C.SOLVER.IMS_PER_BATCH = 16
+
+# ---------------------------------------------------------------------------
+# Test
+# ---------------------------------------------------------------------------
+_C.TEST = ConfigNode()
+_C.TEST.EXPECTED_RESULTS = []
+_C.TEST.EXPECTED_RESULTS_SIGMA_TOL = 4
+_C.TEST.IMS_PER_BATCH = 8
+_C.TEST.DETECTIONS_PER_IMG = 100
+
+_C.TEST.BBOX_AUG = ConfigNode()
+_C.TEST.BBOX_AUG.ENABLED = False
+_C.TEST.BBOX_AUG.H_FLIP = False
+_C.TEST.BBOX_AUG.SCALES = ()
+_C.TEST.BBOX_AUG.MAX_SIZE = 4000
+_C.TEST.BBOX_AUG.SCALE_H_FLIP = False
+
+# ---------------------------------------------------------------------------
+# Misc
+# ---------------------------------------------------------------------------
+_C.OUTPUT_DIR = "."
+_C.PATHS_CATALOG = ""  # unused; catalog lives in config/paths_catalog.py
+_C.DTYPE = "float32"
+_C.AMP_VERBOSE = False
+
+# ---------------------------------------------------------------------------
+# TPU-specific knobs (new — the reference has none of these; they encode the
+# fixed-shape / padding / mesh decisions a jit-compiled pipeline requires)
+# ---------------------------------------------------------------------------
+_C.TPU = ConfigNode()
+# Padded input canvas (H, W). Must be a multiple of 16 (C4 stride). Landscape
+# VID at min 600 / max 1000 resizes to at most 1000x600-ish; 608x1024 covers it.
+_C.TPU.CANVAS_HEIGHT = 608
+_C.TPU.CANVAS_WIDTH = 1024
+# Max ground-truth boxes per image (padded). VID images rarely exceed ~30.
+_C.TPU.MAX_GT_BOXES = 32
+# Compute dtype for conv/matmul heavy paths ("bfloat16" or "float32").
+_C.TPU.COMPUTE_DTYPE = "bfloat16"
+# Mesh axis names and sizes; -1 for data means "all remaining devices".
+_C.TPU.MESH_DATA_AXIS = "data"
+_C.TPU.MESH_MODEL_AXIS = "model"
+_C.TPU.NUM_MODEL_PARTITIONS = 1
+# Remat (activation checkpointing) of backbone stages to trade FLOPs for HBM.
+_C.TPU.REMAT_BACKBONE = False
+
+cfg = _C
+
+
+def get_default_cfg() -> ConfigNode:
+    """A fresh, mutable copy of the default tree."""
+    return _C.clone()
+
+
+BBOX_XFORM_CLIP = math.log(1000.0 / 16)

@@ -1,0 +1,87 @@
+"""NMS parity against a straightforward numpy greedy reference.
+
+The numpy oracle implements the semantics of the reference kernel
+(mega_core/csrc/cpu/nms_cpu.cpp / cuda/nms.cu devIoU): score-descending greedy,
++1 area convention, suppress IoU > threshold.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mega_pytorch_tpu.ops import batched_nms, nms
+
+
+def np_greedy_nms(boxes, scores, thresh):
+    order = np.argsort(-scores, kind="stable")
+    areas = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        xx1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        iou = inter / (areas[i] + areas - inter)
+        suppressed |= iou > thresh
+    return np.array(keep)
+
+
+def _random_boxes(rng, n, span=200):
+    xy = rng.uniform(0, span, (n, 2))
+    wh = rng.uniform(1, span / 2, (n, 2))
+    return np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+
+
+def test_nms_matches_numpy_oracle():
+    rng = np.random.RandomState(42)
+    for thresh in (0.3, 0.5, 0.7):
+        boxes = _random_boxes(rng, 100)
+        scores = rng.uniform(0, 1, 100).astype(np.float32)
+        expected = np_greedy_nms(boxes, scores, thresh)
+        k = len(expected)
+        idx, valid = nms(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(100, bool), thresh, 100
+        )
+        got = np.asarray(idx)[np.asarray(valid)]
+        assert len(got) == k
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_nms_respects_validity_mask():
+    boxes = jnp.array(
+        [[0.0, 0.0, 10.0, 10.0], [0.0, 0.0, 10.0, 10.0], [50.0, 50.0, 60.0, 60.0]]
+    )
+    scores = jnp.array([0.9, 0.8, 0.7])
+    valid = jnp.array([False, True, True])
+    idx, v = nms(boxes, scores, valid, 0.5, 3)
+    got = np.asarray(idx)[np.asarray(v)]
+    np.testing.assert_array_equal(got, [1, 2])
+
+
+def test_nms_max_outputs_truncates_in_score_order():
+    rng = np.random.RandomState(7)
+    boxes = _random_boxes(rng, 50)
+    scores = rng.uniform(0, 1, 50).astype(np.float32)
+    expected = np_greedy_nms(boxes, scores, 0.5)[:5]
+    idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(50, bool), 0.5, 5)
+    assert np.asarray(valid).all()
+    np.testing.assert_array_equal(np.asarray(idx), expected)
+
+
+def test_batched_nms_vmaps_per_class():
+    rng = np.random.RandomState(3)
+    boxes = np.stack([_random_boxes(rng, 40) for _ in range(4)])
+    scores = rng.uniform(0, 1, (4, 40)).astype(np.float32)
+    idx, valid = batched_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.ones((4, 40), bool), 0.5, 40
+    )
+    for c in range(4):
+        expected = np_greedy_nms(boxes[c], scores[c], 0.5)
+        got = np.asarray(idx[c])[np.asarray(valid[c])]
+        np.testing.assert_array_equal(got, expected)
