@@ -1,0 +1,266 @@
+"""ResNet C4 backbone + res5 head, TPU-native (NHWC, flax.linen).
+
+Architecture parity with mega_core/modeling/backbone/resnet.py:81-451:
+frozen-BN bottlenecks, stride on the first 1x1 conv (STRIDE_IN_1X1, MSRA
+style), stage freezing via stop_gradient at FREEZE_CONV_BODY_AT, and a
+separately-instantiable res5 stage (``ResNetHead``) with ``stride_init=1`` and
+dilation 2 for the VID C4 heads (roi_box_feature_extractors.py:62-73).
+
+Module names mirror the torch state-dict layout (stem/layer{N}/{i}/conv{j},
+bn{j}, downsample) so checkpoint ingestion is a mechanical rename
+(utils/torch_ingest.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..layers import FrozenBatchNorm2d
+
+# stage block counts (resnet.py:44-80)
+STAGE_SPECS = {
+    "R-50": (3, 4, 6, 3),
+    "R-101": (3, 4, 23, 3),
+    "R-152": (3, 8, 36, 3),
+}
+
+
+class Bottleneck(nn.Module):
+    """1x1 → 3x3 → 1x1 residual block with frozen BN (resnet.py:239-364)."""
+
+    in_channels: int
+    bottleneck_channels: int
+    out_channels: int
+    stride: int = 1
+    stride_in_1x1: bool = True
+    dilation: int = 1
+    num_groups: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        stride = 1 if self.dilation > 1 else self.stride
+        stride_1x1, stride_3x3 = (
+            (stride, 1) if self.stride_in_1x1 else (1, stride)
+        )
+
+        identity = x
+        if self.in_channels != self.out_channels:
+            down_stride = self.stride if self.dilation == 1 else 1
+            identity = nn.Conv(
+                self.out_channels,
+                (1, 1),
+                strides=(down_stride, down_stride),
+                use_bias=False,
+                dtype=self.dtype,
+                name="downsample_conv",
+            )(x)
+            identity = FrozenBatchNorm2d(
+                self.out_channels, dtype=self.dtype, name="downsample_bn"
+            )(identity)
+
+        out = nn.Conv(
+            self.bottleneck_channels,
+            (1, 1),
+            strides=(stride_1x1, stride_1x1),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        out = FrozenBatchNorm2d(self.bottleneck_channels, dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+
+        out = nn.Conv(
+            self.bottleneck_channels,
+            (3, 3),
+            strides=(stride_3x3, stride_3x3),
+            padding=[(self.dilation, self.dilation)] * 2,
+            kernel_dilation=(self.dilation, self.dilation),
+            feature_group_count=self.num_groups,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv2",
+        )(out)
+        out = FrozenBatchNorm2d(self.bottleneck_channels, dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+
+        out = nn.Conv(
+            self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
+        )(out)
+        out = FrozenBatchNorm2d(self.out_channels, dtype=self.dtype, name="bn3")(out)
+
+        return nn.relu(out + identity)
+
+
+class Stem(nn.Module):
+    """7x7/2 conv + frozen BN + 3x3/2 maxpool (resnet.py:367-387)."""
+
+    out_channels: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(
+            self.out_channels,
+            (7, 7),
+            strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        x = FrozenBatchNorm2d(self.out_channels, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+
+class ResNetStage(nn.Module):
+    """A sequence of bottlenecks; first block carries the stride/projection."""
+
+    block_count: int
+    in_channels: int
+    bottleneck_channels: int
+    out_channels: int
+    first_stride: int
+    stride_in_1x1: bool = True
+    dilation: int = 1
+    num_groups: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = self.in_channels
+        stride = self.first_stride
+        for i in range(self.block_count):
+            x = Bottleneck(
+                in_channels=in_ch,
+                bottleneck_channels=self.bottleneck_channels,
+                out_channels=self.out_channels,
+                stride=stride,
+                stride_in_1x1=self.stride_in_1x1,
+                dilation=self.dilation,
+                num_groups=self.num_groups,
+                dtype=self.dtype,
+                name=str(i),
+            )(x)
+            in_ch = self.out_channels
+            stride = 1
+        return x
+
+
+class ResNetC4(nn.Module):
+    """ResNet body through stage 4 (C4 feature, stride 16, 1024 channels).
+
+    ``freeze_at``: stop_gradient is applied after each frozen stage, matching
+    the reference's requires_grad=False on stem..layer{freeze_at-1}
+    (resnet.py:134-143); the solver additionally masks those params.
+    """
+
+    depth: str = "R-50"  # "R-50" | "R-101" | "R-152"
+    freeze_at: int = 2
+    stride_in_1x1: bool = True
+    num_groups: int = 1
+    width_per_group: int = 64
+    res2_out_channels: int = 256
+    stem_out_channels: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        blocks = STAGE_SPECS[self.depth][:3]  # stages 1..3 for C4
+        x = Stem(self.stem_out_channels, dtype=self.dtype, name="stem")(x)
+        if self.freeze_at >= 1:
+            x = jax.lax.stop_gradient(x)
+        in_ch = self.stem_out_channels
+        for stage_idx, block_count in enumerate(blocks, start=1):
+            factor = 2 ** (stage_idx - 1)
+            out_ch = self.res2_out_channels * factor
+            bott_ch = self.num_groups * self.width_per_group * factor
+            x = ResNetStage(
+                block_count=block_count,
+                in_channels=in_ch,
+                bottleneck_channels=bott_ch,
+                out_channels=out_ch,
+                first_stride=1 if stage_idx == 1 else 2,
+                stride_in_1x1=self.stride_in_1x1,
+                num_groups=self.num_groups,
+                dtype=self.dtype,
+                name=f"layer{stage_idx}",
+            )(x)
+            if self.freeze_at >= stage_idx + 1:
+                x = jax.lax.stop_gradient(x)
+            in_ch = out_ch
+        return x  # (B, H/16, W/16, 1024)
+
+
+class ResNetRes5Head(nn.Module):
+    """Stage-5 head applied by the ROI feature extractors.
+
+    Used two ways by VID configs (roi_box_feature_extractors.py:54-118):
+    on the full C4 map with stride_init=1 + dilation=2 (ResNetConv52MLP), or
+    on pooled 14x14 ROI features with stride 2 (classic C4 extractor).
+    """
+
+    depth: str = "R-50"
+    stride_init: int = 1
+    dilation: int = 2
+    stride_in_1x1: bool = True
+    num_groups: int = 1
+    width_per_group: int = 64
+    res2_out_channels: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        return self.res2_out_channels * 8
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        block_count = STAGE_SPECS[self.depth][3]
+        factor = 8
+        return ResNetStage(
+            block_count=block_count,
+            in_channels=self.res2_out_channels * 4,
+            bottleneck_channels=self.num_groups * self.width_per_group * factor,
+            out_channels=self.res2_out_channels * factor,
+            first_stride=self.stride_init,
+            stride_in_1x1=self.stride_in_1x1,
+            dilation=self.dilation,
+            num_groups=self.num_groups,
+            dtype=self.dtype,
+            name="layer4",
+        )(x)
+
+
+def build_resnet_c4(cfg) -> ResNetC4:
+    body = cfg.MODEL.BACKBONE.CONV_BODY  # e.g. "R-50-C4"
+    depth = "-".join(body.split("-")[:2])
+    return ResNetC4(
+        depth=depth,
+        freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+        width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+        res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
+        stem_out_channels=cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
+        dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE),
+    )
+
+
+def build_res5_head(cfg, stride_init: int = 1) -> ResNetRes5Head:
+    body = cfg.MODEL.BACKBONE.CONV_BODY
+    depth = "-".join(body.split("-")[:2])
+    return ResNetRes5Head(
+        depth=depth,
+        stride_init=stride_init,
+        dilation=cfg.MODEL.RESNETS.RES5_DILATION,
+        stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
+        width_per_group=cfg.MODEL.RESNETS.WIDTH_PER_GROUP,
+        res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
+        dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE),
+    )

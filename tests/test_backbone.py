@@ -1,0 +1,210 @@
+"""Backbone parity and shape tests.
+
+Torch oracles (clean-room from the architecture spec in
+mega_core/modeling/backbone/resnet.py) validate layout conversion, stride
+placement, frozen BN, dilation, and deconv semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from mega_pytorch_tpu.models.backbone import (
+    FlowNetS,
+    EmbedNet,
+    ResNetC4,
+    ResNetRes5Head,
+)
+from mega_pytorch_tpu.models.backbone.resnet import Bottleneck, Stem
+from mega_pytorch_tpu.utils.torch_ingest import ingest_state_dict
+
+
+class TorchFrozenBN(torch.nn.Module):
+    def __init__(self, n):
+        super().__init__()
+        self.register_buffer("weight", torch.rand(n) + 0.5)
+        self.register_buffer("bias", torch.randn(n) * 0.1)
+        self.register_buffer("running_mean", torch.randn(n) * 0.1)
+        self.register_buffer("running_var", torch.rand(n) + 0.5)
+
+    def forward(self, x):
+        scale = self.weight * self.running_var.rsqrt()
+        bias = self.bias - self.running_mean * scale
+        return x * scale.reshape(1, -1, 1, 1) + bias.reshape(1, -1, 1, 1)
+
+
+class TorchBottleneck(torch.nn.Module):
+    def __init__(self, cin, cmid, cout, stride, stride_in_1x1, dilation):
+        super().__init__()
+        if dilation > 1:
+            stride_eff = 1
+        else:
+            stride_eff = stride
+        s1, s3 = (stride_eff, 1) if stride_in_1x1 else (1, stride_eff)
+        self.conv1 = torch.nn.Conv2d(cin, cmid, 1, stride=s1, bias=False)
+        self.bn1 = TorchFrozenBN(cmid)
+        self.conv2 = torch.nn.Conv2d(
+            cmid, cmid, 3, stride=s3, padding=dilation, dilation=dilation, bias=False
+        )
+        self.bn2 = TorchFrozenBN(cmid)
+        self.conv3 = torch.nn.Conv2d(cmid, cout, 1, bias=False)
+        self.bn3 = TorchFrozenBN(cout)
+        self.has_down = cin != cout
+        if self.has_down:
+            down_stride = stride if dilation == 1 else 1
+            self.downsample = torch.nn.Sequential(
+                torch.nn.Conv2d(cin, cout, 1, stride=down_stride, bias=False),
+                TorchFrozenBN(cout),
+            )
+
+    def forward(self, x):
+        idn = self.downsample(x) if self.has_down else x
+        out = F.relu(self.bn1(self.conv1(x)))
+        out = F.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return F.relu(out + idn)
+
+
+def _run_flax(module, params, x_nchw):
+    x = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+    out = module.apply({"params": params}, x)
+    return np.transpose(np.asarray(out), (0, 3, 1, 2))
+
+
+def test_bottleneck_parity_stride2_with_downsample():
+    torch.manual_seed(0)
+    tb = TorchBottleneck(64, 64, 256, stride=2, stride_in_1x1=True, dilation=1)
+    params = ingest_state_dict(tb.state_dict())
+    fb = Bottleneck(
+        in_channels=64, bottleneck_channels=64, out_channels=256,
+        stride=2, stride_in_1x1=True, dilation=1,
+    )
+    x = np.random.RandomState(0).randn(2, 64, 16, 16).astype(np.float32)
+    with torch.no_grad():
+        expected = tb(torch.from_numpy(x)).numpy()
+    got = _run_flax(fb, params, x)
+    assert got.shape == expected.shape == (2, 256, 8, 8)
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_bottleneck_parity_dilation2():
+    torch.manual_seed(1)
+    tb = TorchBottleneck(1024, 512, 2048, stride=2, stride_in_1x1=True, dilation=2)
+    params = ingest_state_dict(tb.state_dict())
+    fb = Bottleneck(
+        in_channels=1024, bottleneck_channels=512, out_channels=2048,
+        stride=2, stride_in_1x1=True, dilation=2,
+    )
+    x = np.random.RandomState(1).randn(1, 1024, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        expected = tb(torch.from_numpy(x)).numpy()
+    got = _run_flax(fb, params, x)
+    # dilation>1 resets stride to 1: spatial size preserved
+    assert got.shape == expected.shape == (1, 2048, 8, 8)
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-3)
+
+
+def test_stem_parity():
+    torch.manual_seed(2)
+
+    class TorchStem(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = torch.nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = TorchFrozenBN(64)
+
+        def forward(self, x):
+            x = F.relu(self.bn1(self.conv1(x)))
+            return F.max_pool2d(x, 3, stride=2, padding=1)
+
+    ts = TorchStem()
+    params = ingest_state_dict(ts.state_dict())
+    x = np.random.RandomState(2).randn(1, 3, 64, 96).astype(np.float32)
+    with torch.no_grad():
+        expected = ts(torch.from_numpy(x)).numpy()
+    got = _run_flax(Stem(64), params, x)
+    assert got.shape == expected.shape == (1, 64, 16, 24)
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_deconv_parity():
+    """flax ConvTranspose(transpose_kernel=True) must equal torch ConvTranspose2d."""
+    torch.manual_seed(3)
+    td = torch.nn.ConvTranspose2d(8, 4, kernel_size=4, stride=2)
+    from flax import linen as nn
+    from mega_pytorch_tpu.utils.torch_ingest import deconv_kernel, to_numpy
+
+    fd = nn.ConvTranspose(4, (4, 4), strides=(2, 2), padding="VALID", transpose_kernel=True)
+    params = {
+        "kernel": deconv_kernel(to_numpy(td.weight)),
+        "bias": to_numpy(td.bias),
+    }
+    x = np.random.RandomState(3).randn(1, 8, 5, 7).astype(np.float32)
+    with torch.no_grad():
+        expected = td(torch.from_numpy(x)).numpy()
+    got = fd.apply(
+        {"params": params}, jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    )
+    got = np.transpose(np.asarray(got), (0, 3, 1, 2))
+    assert got.shape == expected.shape == (1, 4, 12, 16)
+    np.testing.assert_allclose(got, expected, rtol=1e-3, atol=1e-4)
+
+
+def test_resnet_c4_shapes_and_frozen_grads():
+    model = ResNetC4(depth="R-50", freeze_at=2)
+    x = jnp.zeros((1, 128, 160, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out.shape == (1, 8, 10, 1024)  # stride 16, 1024ch
+
+    # layer1 params exist and layer3 block count matches R-50 spec
+    assert "layer1" in params and "layer3" in params
+    assert set(params["layer3"].keys()) == {str(i) for i in range(6)}
+
+    # stop_gradient: grads w.r.t. stem/layer1 are zero, layer2+ nonzero
+    def loss(p):
+        return (model.apply({"params": p}, jnp.ones((1, 64, 64, 3))) ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    stem_norm = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.abs(b).sum(), g["stem"], 0.0
+    )
+    l2_norm = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.abs(b).sum(), g["layer2"], 0.0
+    )
+    assert float(stem_norm) == 0.0
+    assert float(l2_norm) > 0.0
+
+
+def test_res5_head_dilated_keeps_resolution():
+    head = ResNetRes5Head(depth="R-50", stride_init=1, dilation=2)
+    x = jnp.zeros((1, 8, 10, 1024))
+    params = head.init(jax.random.PRNGKey(0), x)["params"]
+    out = head.apply({"params": params}, x)
+    assert out.shape == (1, 8, 10, 2048)
+
+
+def test_flownet_shapes():
+    for method, expect_tuple in (("fgfa", False), ("dff", True)):
+        net = FlowNetS(method=method)
+        x = jnp.zeros((1, 128, 192, 6))
+        params = net.init(jax.random.PRNGKey(0), x)["params"]
+        out = net.apply({"params": params}, x)
+        if expect_tuple:
+            flow, scale = out
+            assert flow.shape == (1, 8, 12, 2)
+            assert scale.shape == (1, 8, 12, 1024)
+            # zero-init conv + 1 → scale map is exactly 1 at init
+            np.testing.assert_allclose(np.asarray(scale), 1.0)
+        else:
+            assert out.shape == (1, 8, 12, 2)
+
+
+def test_embednet_shapes():
+    net = EmbedNet()
+    x = jnp.zeros((1, 8, 10, 1024))
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    out = net.apply({"params": params}, x)
+    assert out.shape == (1, 8, 10, 2048)
