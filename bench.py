@@ -38,57 +38,41 @@ ITERS = 16
 
 
 def _build_flagship():
-    from mega_pytorch_tpu.models.detectors.rcnn import GeneralizedRCNN, RCNNConfig
-    from mega_pytorch_tpu.structures.image_list import ImageBatch
+    """Flagship: MEGA R-101 steady-state streaming step (one frame per step)."""
+    from mega_pytorch_tpu.models.detectors.mega import build_mega_flagship
 
-    try:
-        from mega_pytorch_tpu.models.detectors.mega import build_mega_flagship  # noqa: F401
-
-        return build_mega_flagship(CANVAS_H, CANVAS_W, BATCH)
-    except ImportError:
-        pass
-
-    c = RCNNConfig(depth="R-101", compute_dtype="bfloat16")
-    model = GeneralizedRCNN(c=c)
-    rs = np.random.RandomState(0)
-    images = ImageBatch(
-        tensors=jnp.asarray(rs.randn(BATCH, CANVAS_H, CANVAS_W, 3) * 50, jnp.float32),
-        sizes=jnp.tile(jnp.array([[600.0, 1000.0]], jnp.float32), (BATCH, 1)),
-    )
-    params = model.init(jax.random.PRNGKey(0), images, train=False)["params"]
-
-    def fn(params, images):
-        dets = model.apply({"params": params}, images, train=False)
-        return dets.scores.sum()
-
-    return fn, params, images, "single-frame R-101"
+    fn, params, state, label = build_mega_flagship(CANVAS_H, CANVAS_W, BATCH)
+    return fn, params, state, label
 
 
 def main():
-    fn, params, images, label = _build_flagship()
+    fn, params, state, label = _build_flagship()
+    frames_per_iter = 1  # streaming: one new frame per step
 
     @jax.jit
-    def chained(params, images):
-        def body(carry, _):
-            # vary the input slightly each step so iterations can't be CSE'd
-            imgs = images.replace(tensors=images.tensors + carry * 1e-6)
-            return carry + fn(params, imgs), None
+    def chained(params, state):
+        def body(carry_state, _):
+            carry, images = carry_state
+            new_carry, score = fn(params, (carry, images))
+            # perturb the frame so iterations can't be CSE'd
+            images = images.replace(tensors=images.tensors + score * 1e-9)
+            return (new_carry, images), score
 
-        total, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
-        return total
+        (_, _), scores = jax.lax.scan(body, state, None, length=ITERS)
+        return scores.sum()
 
     # compile + warmup, synchronized by host fetch (block_until_ready is
     # unreliable through the relay)
-    _ = float(chained(params, images))
+    _ = float(chained(params, state))
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        _ = float(chained(params, images))
+        _ = float(chained(params, state))
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
-    fps = ITERS * BATCH / dt
+    fps = ITERS * frames_per_iter / dt
     print(
         json.dumps(
             {

@@ -1,0 +1,154 @@
+"""Relation attention for RDN/MEGA (masked, fixed-shape, MXU-friendly).
+
+Parity with the reference AttentionExtractor machinery
+(mega_core/modeling/roi_heads/box_head/roi_box_feature_extractors.py):
+  * extract_position_matrix (:146-176) — pairwise log-ratio geometry.
+  * extract_position_embedding (:125-144) — sinusoidal encoding of the 4
+    geometry channels (feat_dim/8 frequencies, wave length 1000, x100 scale).
+  * attention_module_multi_head (:178-238 and the MEGA variant :567-646) —
+    16-group attention whose logits are scaled content affinity
+    (+ optional global `u·K` bias, MEGA) plus the log of a learned position
+    weight; values are the full 1024-d ref features per group, mixed back to
+    1024 by a grouped 1x1 (here a per-group (1024, 64) matmul).
+
+TPU changes: everything is einsum on padded tensors; invalid reference slots
+are masked to -inf before the softmax (the reference never pads).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF = -1e30
+
+
+def extract_position_matrix(bbox: jnp.ndarray, ref_bbox: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4) x (M, 4) → (N, M, 4) [log|dx/w|, log|dy/h|, log(w/w'), log(h/h')]."""
+    def parts(b):
+        w = b[:, 2] - b[:, 0] + 1.0
+        h = b[:, 3] - b[:, 1] + 1.0
+        cx = 0.5 * (b[:, 0] + b[:, 2])
+        cy = 0.5 * (b[:, 1] + b[:, 3])
+        return w, h, cx, cy
+
+    w, h, cx, cy = parts(bbox)
+    w_r, h_r, cx_r, cy_r = parts(ref_bbox)
+    # guard padded zero-boxes (w=h=1 after +1, but ratios of 0-size are fine)
+    w = jnp.maximum(w, 1e-3)
+    h = jnp.maximum(h, 1e-3)
+    w_r = jnp.maximum(w_r, 1e-3)
+    h_r = jnp.maximum(h_r, 1e-3)
+
+    delta_x = jnp.log(jnp.abs((cx[:, None] - cx_r[None, :]) / w[:, None]) + 1e-3)
+    delta_y = jnp.log(jnp.abs((cy[:, None] - cy_r[None, :]) / h[:, None]) + 1e-3)
+    delta_w = jnp.log(w[:, None] / w_r[None, :])
+    delta_h = jnp.log(h[:, None] / h_r[None, :])
+    return jnp.stack([delta_x, delta_y, delta_w, delta_h], axis=2)
+
+
+def extract_position_embedding(
+    position_mat: jnp.ndarray, feat_dim: int = 64, wave_length: float = 1000.0
+) -> jnp.ndarray:
+    """(N, M, 4) → (N, M, feat_dim) sinusoidal embedding."""
+    num_freq = feat_dim // 8
+    freq = jnp.arange(num_freq, dtype=jnp.float32)
+    dim_mat = wave_length ** (8.0 / feat_dim * freq)  # (F,)
+    div = (position_mat[..., None] * 100.0) / dim_mat  # (N, M, 4, F)
+    emb = jnp.concatenate([jnp.sin(div), jnp.cos(div)], axis=-1)  # (N, M, 4, 2F)
+    return emb.reshape(*position_mat.shape[:2], feat_dim)
+
+
+def position_embedding(rois: jnp.ndarray, ref_rois: jnp.ndarray, feat_dim: int = 64):
+    """cal_position_embedding (:240-250), laid out (N, M, feat_dim)."""
+    return extract_position_embedding(
+        extract_position_matrix(rois, ref_rois), feat_dim
+    )
+
+
+class RelationAttention(nn.Module):
+    """One stage of multi-head relation attention.
+
+    use_position: learn the Wg position-bias branch (local/memory attention).
+    use_u_bias: add the global content bias `u @ K^T` (MEGA; RDN omits it).
+    """
+
+    feat_dim: int = 1024
+    embed_dim: int = 64
+    groups: int = 16
+    use_position: bool = True
+    use_u_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        roi_feat: jnp.ndarray,
+        ref_feat: jnp.ndarray,
+        ref_valid: jnp.ndarray | None = None,
+        pos_emb: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """roi_feat (N, D), ref_feat (M, D), ref_valid (M,), pos_emb (N, M, E)."""
+        g = self.groups
+        d = self.feat_dim // g
+        dt = self.dtype
+
+        q = nn.Dense(self.feat_dim, dtype=dt, name="Wq")(roi_feat.astype(dt))
+        k = nn.Dense(self.feat_dim, dtype=dt, name="Wk")(ref_feat.astype(dt))
+        q = q.reshape(-1, g, d)
+        k = k.reshape(-1, g, d)
+
+        aff = jnp.einsum(
+            "ngd,mgd->gnm", q, k, preferred_element_type=jnp.float32
+        )
+        if self.use_u_bias:
+            u = self.param(
+                "u", nn.initializers.normal(0.01), (g, self.embed_dim)
+            )
+            aff = aff + jnp.einsum(
+                "gd,mgd->gm", u.astype(dt), k, preferred_element_type=jnp.float32
+            )[:, None, :]
+        aff = aff * (1.0 / math.sqrt(d))
+
+        if self.use_position:
+            assert pos_emb is not None
+            pos_w = nn.relu(
+                nn.Dense(
+                    g,
+                    dtype=dt,
+                    kernel_init=nn.initializers.normal(0.01),
+                    name="Wg",
+                )(pos_emb.astype(dt))
+            )  # (N, M, g)
+            aff = jnp.log(pos_w.astype(jnp.float32).transpose(2, 0, 1) + 1e-6) + aff
+
+        if ref_valid is not None:
+            aff = jnp.where(ref_valid[None, None, :], aff, NEG_INF)
+        soft = jax.nn.softmax(aff, axis=2)  # (g, N, M)
+        if ref_valid is not None:
+            # with zero valid refs the softmax is uniform garbage — emit zeros
+            # (an empty attention contributes nothing to the residual)
+            soft = jnp.where(ref_valid.any(), soft, 0.0)
+
+        out = jnp.einsum(
+            "gnm,mf->ngf",
+            soft.astype(dt),
+            ref_feat.astype(dt),
+            preferred_element_type=jnp.float32,
+        )  # (N, g, D)
+        wv = self.param(
+            "Wv_kernel",
+            nn.initializers.normal(0.01),
+            (g, self.feat_dim, d),
+        )
+        bv = self.param("Wv_bias", nn.initializers.zeros, (self.feat_dim,))
+        mixed = jnp.einsum(
+            "ngf,gfd->ngd",
+            out.astype(dt),
+            wv.astype(dt),
+            preferred_element_type=jnp.float32,
+        ).reshape(-1, self.feat_dim)
+        return mixed + bv
