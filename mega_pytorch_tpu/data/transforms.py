@@ -1,0 +1,98 @@
+"""Host-side image preprocessing (numpy/PIL — runs in loader workers).
+
+Parity with mega_core/data/transforms/{transforms,build}.py:
+  * Resize: scale so the shortest side hits MIN_SIZE, capped so the longest
+    side stays <= MAX_SIZE (the maskrcnn-benchmark rule).
+  * RandomHorizontalFlip with the chance SHARED across the current frame and
+    all its reference frames (the reference keeps `self.chance` stateful so
+    ref frames flip consistently) — here the flip decision is computed once
+    per sample group and passed in.
+  * Normalize: RGB→BGR, x255, subtract PIXEL_MEAN (TO_BGR255 Caffe2 style).
+  * ColorJitter exists in the reference but every VID config leaves it at 0,
+    so it is a no-op and omitted.
+
+TPU addition: images are padded onto a fixed canvas (orientation-dependent)
+so jit sees static shapes; the true resized (h, w) rides along for clipping.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+from PIL import Image
+
+PIXEL_MEAN_BGR = np.array([102.9801, 115.9465, 122.7717], np.float32)
+
+
+class Preprocessed(NamedTuple):
+    image: np.ndarray  # (H, W, 3) float32 on the canvas
+    size: np.ndarray  # (2,) float32 true (h, w) after resize
+    scale: float  # resize scale applied (for mapping boxes back)
+
+
+def resize_hw(h: int, w: int, min_size: int, max_size: int) -> tuple[int, int]:
+    """Target (h, w) under the shortest/longest side rule (transforms.py Resize)."""
+    size = min_size
+    if max_size is not None:
+        min_orig = min(h, w)
+        max_orig = max(h, w)
+        if max_orig / min_orig * size > max_size:
+            size = int(round(max_size * min_orig / max_orig))
+    if h < w:
+        oh, ow = size, int(size * w / h)
+    else:
+        ow, oh = size, int(size * h / w)
+    return oh, ow
+
+
+def canvas_for(h: int, w: int, canvas_short: int = 608, canvas_long: int = 1024):
+    """Orientation-dependent fixed canvas: landscape (short, long), portrait
+    (long, short). Square images use the landscape canvas."""
+    if h <= w:
+        return canvas_short, canvas_long
+    return canvas_long, canvas_short
+
+
+def preprocess_image(
+    img: Image.Image,
+    min_size: int,
+    max_size: int,
+    flip: bool,
+    canvas_short: int = 608,
+    canvas_long: int = 1024,
+    pixel_mean: np.ndarray = PIXEL_MEAN_BGR,
+) -> Preprocessed:
+    w0, h0 = img.size
+    oh, ow = resize_hw(h0, w0, min_size, max_size)
+    img = img.resize((ow, oh), Image.BILINEAR)
+    if flip:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    arr = np.asarray(img, np.float32)  # (oh, ow, 3) RGB [0, 255]
+    arr = arr[:, :, ::-1] - pixel_mean  # BGR255, mean-subtracted
+
+    ch, cw = canvas_for(h0, w0, canvas_short, canvas_long)
+    canvas = np.zeros((ch, cw, 3), np.float32)
+    canvas[:oh, :ow] = arr
+    return Preprocessed(
+        image=canvas,
+        size=np.array([oh, ow], np.float32),
+        scale=oh / h0,
+    )
+
+
+def transform_boxes(
+    boxes: np.ndarray, h0: int, w0: int, oh: int, ow: int, flip: bool
+) -> np.ndarray:
+    """Apply the same resize/flip to xyxy boxes (BoxList.resize/transpose)."""
+    if len(boxes) == 0:
+        return boxes.reshape(0, 4)
+    out = boxes.astype(np.float32).copy()
+    sx, sy = ow / w0, oh / h0
+    out[:, 0::2] *= sx
+    out[:, 1::2] *= sy
+    if flip:
+        x1 = ow - out[:, 2] - 1.0
+        x2 = ow - out[:, 0] - 1.0
+        out[:, 0], out[:, 2] = x1, x2
+    return out

@@ -1,0 +1,190 @@
+"""Checkpoint ingestion: name translation, layout conversions (functional
+parity vs torch ops), and full-coverage merge into a real model tree."""
+
+import logging
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from mega_pytorch_tpu.utils.model_ingest import (
+    _grouped_wv,
+    _pooled_fc_kernel,
+    convert_reference_state_dict,
+    merge_params,
+    translate_name,
+)
+
+
+def test_translate_names():
+    cases = {
+        "module.backbone.body.stem.conv1.weight": ["backbone", "stem", "conv1", "weight"],
+        "backbone.body.layer1.0.downsample.0.weight": ["backbone", "layer1", "0", "downsample_conv", "weight"],
+        "backbone.body.layer1.0.downsample.1.running_mean": ["backbone", "layer1", "0", "downsample_bn", "running_mean"],
+        "rpn.cls_logits.bias": ["rpn", "cls_logits", "bias"],
+        "roi_heads.box.feature_extractor.fcs.0.weight": ["extractor", "fcs_0", "weight"],
+        "roi_heads.box.feature_extractor.Wqs.1.weight": ["extractor", "attn_1", "Wq", "weight"],
+        "roi_heads.box.feature_extractor.l_Wgs.2.bias": ["extractor", "l_attn_2", "Wg", "bias"],
+        "roi_heads.box.feature_extractor.g_us.0": ["extractor", "g_attn_0", "u"],
+        "roi_heads.box.feature_extractor.l_fcs.1.weight": ["extractor", "l_fcs_1", "weight"],
+        "roi_heads.box.predictor.cls_score.weight": ["predictor", "cls_score", "weight"],
+    }
+    for torch_name, expected in cases.items():
+        assert translate_name(torch_name) == expected, torch_name
+
+
+def test_pooled_fc_layout_parity():
+    """torch Linear on channel-major flatten == our Dense on spatial-major."""
+    rng = np.random.RandomState(0)
+    c, res, out = 8, 7, 5
+    pooled_chw = rng.randn(c, res, res).astype(np.float32)
+    w = rng.randn(out, c * res * res).astype(np.float32)
+    b = rng.randn(out).astype(np.float32)
+
+    y_torch = (
+        torch.from_numpy(w) @ torch.from_numpy(pooled_chw.reshape(-1)) + torch.from_numpy(b)
+    ).numpy()
+
+    pooled_hwc = np.transpose(pooled_chw, (1, 2, 0))
+    kernel = _pooled_fc_kernel(w, res)
+    y_ours = pooled_hwc.reshape(-1) @ kernel + b
+    np.testing.assert_allclose(y_ours, y_torch, rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_wv_parity():
+    """torch grouped 1x1 conv == our per-group einsum after conversion."""
+    rng = np.random.RandomState(1)
+    groups, feat = 4, 32
+    d = feat // groups
+    conv = torch.nn.Conv2d(feat * groups, feat, 1, groups=groups)
+    x = rng.randn(2, groups, feat).astype(np.float32)  # (n, g, feat) per-group inputs
+    with torch.no_grad():
+        y_torch = conv(torch.from_numpy(x.reshape(2, groups * feat, 1, 1)))[:, :, 0, 0].numpy()
+
+    wv = _grouped_wv(conv.weight.detach().numpy(), groups)  # (g, feat, d)
+    y_ours = np.einsum("ngf,gfd->ngd", x, wv).reshape(2, feat) + conv.bias.detach().numpy()
+    np.testing.assert_allclose(y_ours, y_torch, rtol=1e-4, atol=1e-4)
+
+
+def _torch_like_resnet_sd(blocks=(3, 4, 6), stem_out=64):
+    """Synthetic state dict with the reference backbone names/shapes (R-50 C4)."""
+    sd = {}
+    t = lambda *s: torch.randn(*s) * 0.02  # noqa: E731
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = torch.rand(c) + 0.5
+        sd[f"{prefix}.bias"] = t(c)
+        sd[f"{prefix}.running_mean"] = t(c)
+        sd[f"{prefix}.running_var"] = torch.rand(c) + 0.5
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(1)
+
+    sd["backbone.body.stem.conv1.weight"] = t(stem_out, 3, 7, 7)
+    bn("backbone.body.stem.bn1", stem_out)
+    cin = stem_out
+    for si, count in enumerate(blocks, start=1):
+        cmid = 64 * 2 ** (si - 1)
+        cout = 256 * 2 ** (si - 1)
+        for b in range(count):
+            p = f"backbone.body.layer{si}.{b}"
+            s1 = 1
+            sd[f"{p}.conv1.weight"] = t(cmid, cin if b == 0 else cout, 1, 1)
+            bn(f"{p}.bn1", cmid)
+            sd[f"{p}.conv2.weight"] = t(cmid, cmid, 3, 3)
+            bn(f"{p}.bn2", cmid)
+            sd[f"{p}.conv3.weight"] = t(cout, cmid, 1, 1)
+            bn(f"{p}.bn3", cout)
+            if b == 0:
+                sd[f"{p}.downsample.0.weight"] = t(cout, cin, 1, 1)
+                bn(f"{p}.downsample.1", cout)
+        cin = cout
+    return sd
+
+
+def _res5_sd(prefix, cin=1024):
+    sd = {}
+    t = lambda *s: torch.randn(*s) * 0.02  # noqa: E731
+
+    def bn(p, c):
+        sd[f"{p}.weight"] = torch.rand(c) + 0.5
+        sd[f"{p}.bias"] = t(c)
+        sd[f"{p}.running_mean"] = t(c)
+        sd[f"{p}.running_var"] = torch.rand(c) + 0.5
+
+    for b in range(3):
+        p = f"{prefix}.layer4.{b}"
+        sd[f"{p}.conv1.weight"] = t(512, cin if b == 0 else 2048, 1, 1)
+        bn(f"{p}.bn1", 512)
+        sd[f"{p}.conv2.weight"] = t(512, 512, 3, 3)
+        bn(f"{p}.bn2", 512)
+        sd[f"{p}.conv3.weight"] = t(2048, 512, 1, 1)
+        bn(f"{p}.bn3", 2048)
+        if b == 0:
+            sd[f"{p}.downsample.0.weight"] = t(2048, cin, 1, 1)
+            bn(f"{p}.downsample.1", 2048)
+    return sd
+
+
+def test_full_model_ingestion_covers_every_param():
+    """Synthetic reference-named checkpoint → every leaf of the flax tree is
+    overwritten with the correct shape (nothing silently kept at init)."""
+    from mega_pytorch_tpu.models.detectors.rcnn import GeneralizedRCNN, RCNNConfig
+    from mega_pytorch_tpu.structures.image_list import ImageBatch
+
+    torch.manual_seed(0)
+    c = RCNNConfig(depth="R-50", reduce_channel=True)
+    model = GeneralizedRCNN(c=c)
+    images = ImageBatch(tensors=jnp.zeros((1, 64, 96, 3)), sizes=jnp.array([[64.0, 96.0]]))
+    init = model.init(jax.random.PRNGKey(0), images, train=False)["params"]
+
+    sd = _torch_like_resnet_sd()
+    sd.update(_res5_sd("roi_heads.box.feature_extractor.head"))
+    t = lambda *s: torch.randn(*s) * 0.02  # noqa: E731
+    sd["rpn.conv.weight"] = t(1024, 1024, 3, 3)
+    sd["rpn.conv.bias"] = t(1024)
+    sd["rpn.cls_logits.weight"] = t(12, 1024, 1, 1)
+    sd["rpn.cls_logits.bias"] = t(12)
+    sd["rpn.bbox_pred.weight"] = t(48, 1024, 1, 1)
+    sd["rpn.bbox_pred.bias"] = t(48)
+    sd["roi_heads.box.feature_extractor.conv.weight"] = t(256, 2048, 1, 1)
+    sd["roi_heads.box.feature_extractor.conv.bias"] = t(256)
+    sd["roi_heads.box.feature_extractor.fc6.weight"] = t(1024, 256 * 49)
+    sd["roi_heads.box.feature_extractor.fc6.bias"] = t(1024)
+    sd["roi_heads.box.feature_extractor.fc7.weight"] = t(1024, 1024)
+    sd["roi_heads.box.feature_extractor.fc7.bias"] = t(1024)
+    sd["roi_heads.box.predictor.cls_score.weight"] = t(31, 1024)
+    sd["roi_heads.box.predictor.cls_score.bias"] = t(31)
+    sd["roi_heads.box.predictor.bbox_pred.weight"] = t(124, 1024)
+    sd["roi_heads.box.predictor.bbox_pred.bias"] = t(124)
+    # the reference's rpn names are rpn.head.* — also accept that prefix
+    sd = {k.replace("rpn.", "rpn.head.") if k.startswith("rpn.") else k: v for k, v in sd.items()}
+
+    loaded = convert_reference_state_dict(sd)
+
+    records = []
+
+    class Collect:
+        def info(self, msg):
+            records.append(msg)
+
+    merged = merge_params(init, loaded, Collect())
+    missing = [r for r in records if "no checkpoint value" in r]
+    assert missing == [], missing
+
+    # a bn running_var actually landed (spot check one leaf value)
+    np.testing.assert_allclose(
+        merged["backbone"]["stem"]["bn1"]["running_var"],
+        sd["backbone.body.stem.bn1.running_var"].numpy(),
+    )
+    # shapes all match init
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a).shape, np.asarray(b).shape),
+        init, merged,
+    )
+
+
+def test_merge_rejects_shape_mismatch():
+    init = {"a": {"kernel": np.zeros((2, 3))}}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        merge_params(init, {"a": {"kernel": np.zeros((3, 2))}})

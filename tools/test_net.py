@@ -1,0 +1,105 @@
+"""Evaluation CLI (parity with the reference tools/test_net.py:28-134).
+
+Runs streaming inference over VID val with video-boundary sharding and the
+motion-IoU evaluator; saves predictions.npz + result.txt.
+"""
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser(description="TPU video detection eval")
+    parser.add_argument("--preset", default="mega_R_101")
+    parser.add_argument("--config-file", default=None)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--data-dir", default="datasets")
+    parser.add_argument("--output-dir", default="output")
+    parser.add_argument("--motion-iou-file", default=None)
+    parser.add_argument("--shard", type=int, default=0)
+    parser.add_argument("--num-shards", type=int, default=1)
+    parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    args = parser.parse_args()
+
+    from mega_pytorch_tpu.config import get_preset
+    from mega_pytorch_tpu.data.loader import EvalPreprocessor
+    from mega_pytorch_tpu.data.paths_catalog import build_dataset
+    from mega_pytorch_tpu.data.samplers import video_shards
+    from mega_pytorch_tpu.engine.inference import (
+        compute_on_dataset,
+        evaluate_predictions,
+    )
+    from mega_pytorch_tpu.models.detectors import build_detection_model
+    from mega_pytorch_tpu.utils.checkpoint import Checkpointer
+    from mega_pytorch_tpu.utils.logger import setup_logger
+
+    cfg = get_preset(args.preset)
+    if args.config_file:
+        cfg.merge_from_file(args.config_file)
+    opts = args.opts[1:] if args.opts and args.opts[0] == "opts" else args.opts
+    if opts:
+        cfg.merge_from_list(opts)
+    cfg.freeze()
+
+    logger = setup_logger("mega_pytorch_tpu.eval", args.output_dir)
+    method = cfg.MODEL.VID.METHOD if cfg.MODEL.VID.ENABLE else "base"
+    model = build_detection_model(cfg)
+
+    name = cfg.DATASETS.TEST[0]
+    dataset = build_dataset(name, method=method, is_train=False, data_dir=args.data_dir)
+
+    prep = EvalPreprocessor(
+        min_size=cfg.INPUT.MIN_SIZE_TEST,
+        max_size=cfg.INPUT.MAX_SIZE_TEST,
+        canvas_short=cfg.TPU.CANVAS_HEIGHT,
+        canvas_long=cfg.TPU.CANVAS_WIDTH,
+        max_gt=cfg.TPU.MAX_GT_BOXES,
+    )
+
+    # params: from checkpoint or reference weights
+    from mega_pytorch_tpu.utils.model_ingest import init_inference_params
+
+    params = init_inference_params(model, method, prep, dataset, logger)
+    if args.checkpoint:
+        ckpt = Checkpointer(os.path.dirname(args.checkpoint) or ".", logger)
+        payload = ckpt.load(args.checkpoint)
+        if "params" in payload:
+            params = payload["params"]
+    elif cfg.MODEL.WEIGHT and os.path.exists(cfg.MODEL.WEIGHT):
+        from mega_pytorch_tpu.utils.model_ingest import load_reference_weights
+
+        params = load_reference_weights(cfg.MODEL.WEIGHT, params, logger)
+
+    if hasattr(dataset, "start_index"):
+        starts = dataset.start_index
+    else:
+        starts = [0]
+    indices = video_shards(starts, len(dataset), args.num_shards)[args.shard]
+    logger.info(f"shard {args.shard}/{args.num_shards}: {len(indices)} frames")
+
+    preds = compute_on_dataset(model, params, dataset, indices, prep, method, logger)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    np.savez_compressed(
+        os.path.join(args.output_dir, f"predictions_{args.shard}.npz"),
+        predictions=np.asarray(
+            [(k, v["boxes"], v["scores"], v["labels"]) for k, v in preds.items()],
+            dtype=object,
+        ),
+    )
+    if args.num_shards == 1:
+        result = evaluate_predictions(dataset, preds, args.motion_iou_file, logger)
+        with open(os.path.join(args.output_dir, "result.txt"), "w") as f:
+            for mname, r in result.items():
+                f.write(f"AP50 | motion={mname:>6s} = {r['map']:.4f}\n")
+
+
+if __name__ == "__main__":
+    main()
