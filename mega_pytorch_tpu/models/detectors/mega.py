@@ -34,13 +34,23 @@ from .rdn import VidConfig, _push
 class MEGACarry(NamedTuple):
     """Streaming state. Local window buffers have the newest frame last.
 
+    TPU redesign: instead of caching 25 raw C4 maps and re-running res5 + the
+    key RPN at detect time (the reference's deques hold full feature maps),
+    every per-frame quantity — ref proposals/features AND the frame's own
+    key proposals/ROI-features — is computed once when the frame enters the
+    window. The carry holds only small ROI tensors (~8 MB vs ~190 MB), and
+    detect_key runs zero convolutions. Values are bit-identical to the
+    recompute (deterministic network).
+
     LRM buffers (one per stage) and the global cache are rolled rings with
     per-slot validity (deques start empty in the reference)."""
 
-    maps: jnp.ndarray  # (T, h, w, 1024)
-    rois: jnp.ndarray  # (T, 75, 4)
+    rois: jnp.ndarray  # (T, 75, 4) ref proposals
     roi_valid: jnp.ndarray  # (T, 75)
     feats: jnp.ndarray  # (T, 75, D) fc0 features (pre-global-enhancement)
+    key_rois: jnp.ndarray  # (T, K, 4) key-version proposals per frame
+    key_valid: jnp.ndarray  # (T, K)
+    key_feats: jnp.ndarray  # (T, K, D) fc0 features of the key proposals
     sizes: jnp.ndarray  # (T, 2)
     mem_rois: tuple  # stage-i: (S, n_i, 4) with n_0=75, else advanced_num
     mem_feats: tuple  # stage-i: (S, n_i, D)
@@ -200,11 +210,38 @@ class GeneralizedRCNNMEGA(nn.Module):
 
     # -- streaming test --------------------------------------------------------
     def precompute(self, images: ImageBatch):
-        """One frame → (map, rois75, valid, fc0 feats) cache entry."""
+        """One frame → cache entry. Runs backbone + res5 + RPN head ONCE and
+        derives both the ref (75) and key (300) proposal sets plus their
+        pooled fc0 ROI features."""
+        feats = self.backbone(images.tensors.astype(jnp.dtype(self.c.compute_dtype)))
+        objectness, deltas = self.rpn(feats)
+        anchors = self._anchors(feats.shape[1], feats.shape[2])
+        ref_props = rpn_postprocess(
+            objectness, deltas, anchors, images.sizes, self._ref_sizes()
+        )
+        key_props = rpn_postprocess(
+            objectness, deltas, anchors, images.sizes, self._key_sizes(train=False)
+        )
+        enhanced = self.extractor.enhance_features(feats)
+        ref_feats = self.extractor.fc0(
+            self.extractor.pool_flat(enhanced[0], ref_props.boxes[0])
+        )
+        key_feats = self.extractor.fc0(
+            self.extractor.pool_flat(enhanced[0], key_props.boxes[0])
+        )
+        return {
+            "rois": ref_props.boxes[0], "roi_valid": ref_props.valid[0],
+            "feats": ref_feats,
+            "key_rois": key_props.boxes[0], "key_valid": key_props.valid[0],
+            "key_feats": key_feats,
+        }
+
+    def precompute_global(self, images: ImageBatch):
+        """Global frames only need the 75-proposal fc0 features."""
         feats = self.backbone(images.tensors.astype(jnp.dtype(self.c.compute_dtype)))
         props = self._ref_proposals(feats, images.sizes)
         pooled = self.extractor.precompute_ref(feats[0], props.boxes[0])
-        return feats[0], props.boxes[0], props.valid[0], pooled
+        return pooled, props.valid[0]
 
     def init_carry(self, entry, size) -> MEGACarry:
         t = self.v.all_frame_interval
@@ -213,14 +250,15 @@ class GeneralizedRCNNMEGA(nn.Module):
         bn = self.c.ref_post_nms_top_n
         an = int(bn * self.v.ratio)
         d = self.c.mlp_dim
-        fmap, rois, valid, pooled = entry
         tile = lambda a: jnp.tile(a[None], (t,) + (1,) * a.ndim)  # noqa: E731
         mem_n = [bn] + [an] * (self.v.base_stage - 1)
         return MEGACarry(
-            maps=tile(fmap),
-            rois=tile(rois),
-            roi_valid=tile(valid),
-            feats=tile(pooled),
+            rois=tile(entry["rois"]),
+            roi_valid=tile(entry["roi_valid"]),
+            feats=tile(entry["feats"]),
+            key_rois=tile(entry["key_rois"]),
+            key_valid=tile(entry["key_valid"]),
+            key_feats=tile(entry["key_feats"]),
             sizes=tile(size),
             mem_rois=tuple(jnp.zeros((s, n, 4), jnp.float32) for n in mem_n),
             mem_feats=tuple(jnp.zeros((s, n, d), jnp.float32) for n in mem_n),
@@ -230,34 +268,35 @@ class GeneralizedRCNNMEGA(nn.Module):
         )
 
     def push_carry(self, carry: MEGACarry, entry, size) -> MEGACarry:
-        fmap, rois, valid, pooled = entry
         return carry._replace(
-            maps=_push(carry.maps, fmap),
-            rois=_push(carry.rois, rois),
-            roi_valid=_push(carry.roi_valid, valid),
-            feats=_push(carry.feats, pooled),
+            rois=_push(carry.rois, entry["rois"]),
+            roi_valid=_push(carry.roi_valid, entry["roi_valid"]),
+            feats=_push(carry.feats, entry["feats"]),
+            key_rois=_push(carry.key_rois, entry["key_rois"]),
+            key_valid=_push(carry.key_valid, entry["key_valid"]),
+            key_feats=_push(carry.key_feats, entry["key_feats"]),
             sizes=_push(carry.sizes, size),
         )
 
     def update_global(self, carry: MEGACarry, images: ImageBatch) -> MEGACarry:
         """Feed one global frame (generalized_rcnn_mega.py:201-208)."""
-        _, _, valid, pooled = self.precompute(images)
+        pooled, valid = self.precompute_global(images)
         return carry._replace(
             g_feats=_push(carry.g_feats, pooled),
             g_valid=_push(carry.g_valid, valid),
         )
 
     def detect_key(self, carry: MEGACarry):
-        """Detect on the key slot; returns (new_carry, Detections)."""
-        c, v = self.c, self.v
-        key_map = carry.maps[v.key_frame_location]
-        key_size = carry.sizes[v.key_frame_location][None]
+        """Detect on the key slot; returns (new_carry, Detections).
 
-        objectness, deltas = self.rpn(key_map[None])
-        anchors = self._anchors(key_map.shape[0], key_map.shape[1])
-        props = rpn_postprocess(
-            objectness, deltas, anchors, key_size, self._key_sizes(train=False)
-        )
+        Convolution-free: the key frame's proposals and pooled ROI features
+        were computed at entry; only the attention stack + heads run here."""
+        c, v = self.c, self.v
+        k = v.key_frame_location
+        key_size = carry.sizes[k][None]
+        key_rois = carry.key_rois[k]
+        key_valid = carry.key_valid[k]
+        x_key = carry.key_feats[k]
 
         t = v.all_frame_interval
         window = RefSet(
@@ -274,8 +313,8 @@ class GeneralizedRCNNMEGA(nn.Module):
             for i in range(v.base_stage)
         )
         x, pushes = self.extractor.extract_test(
-            key_map,
-            props.boxes[0],
+            x_key,
+            key_rois,
             window,
             lrm,
             carry.g_feats.reshape(-1, carry.g_feats.shape[-1]),
@@ -296,7 +335,7 @@ class GeneralizedRCNNMEGA(nn.Module):
 
         class_logits, box_reg = self.predictor(x)
         dets = postprocess_detections(
-            class_logits[None], box_reg[None], props.boxes, props.valid, key_size,
+            class_logits[None], box_reg[None], key_rois[None], key_valid[None], key_size,
             bbox_reg_weights=c.bbox_reg_weights,
             score_thresh=c.score_thresh,
             nms_thresh=c.nms_thresh,

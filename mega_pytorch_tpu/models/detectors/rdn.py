@@ -99,12 +99,19 @@ class VidConfig(NamedTuple):
 
 
 class RDNCarry(NamedTuple):
-    """Streaming state: ring buffers with the newest frame at index -1."""
+    """Streaming state: ring buffers with the newest frame at index -1.
 
-    maps: jnp.ndarray  # (T, H, W, 1024) C4 maps
+    TPU redesign: like MEGACarry, the key-frame proposals and pooled ROI
+    features are computed when a frame ENTERS the window (deterministic
+    network ⇒ identical values), so no feature maps are cached and detect
+    runs zero convolutions."""
+
     rois: jnp.ndarray  # (T, base_num, 4)
     roi_valid: jnp.ndarray  # (T, base_num)
     feats: jnp.ndarray  # (T, base_num, mlp_dim) fc0'd pooled features
+    key_rois: jnp.ndarray  # (T, K, 4)
+    key_valid: jnp.ndarray  # (T, K)
+    key_feats: jnp.ndarray  # (T, K, mlp_dim) fcs[0]-applied key ROI features
     sizes: jnp.ndarray  # (T, 2) per-frame true (h, w)
 
 
@@ -252,59 +259,76 @@ class GeneralizedRCNNRDN(nn.Module):
 
     # -- streaming test --------------------------------------------------------
     def precompute(self, images: ImageBatch):
-        """Process one incoming frame → (map, rois, valid, feats) cache entry."""
+        """One frame → cache entry: backbone + res5 once, ref (75) and key
+        (300) proposal sets, pooled features for both."""
         feats = self.backbone(
             images.tensors.astype(jnp.dtype(self.c.compute_dtype))
         )
-        props = self._ref_proposals(feats, images.sizes)
-        pooled = self.extractor.precompute_ref(feats[0], props.boxes[0])
-        return feats[0], props.boxes[0], props.valid[0], pooled
+        objectness, deltas = self.rpn(feats)
+        anchors = self._anchors(feats.shape[1], feats.shape[2])
+        ref_props = rpn_postprocess(
+            objectness, deltas, anchors, images.sizes, self._ref_sizes()
+        )
+        key_props = rpn_postprocess(
+            objectness, deltas, anchors, images.sizes, self._key_sizes(train=False)
+        )
+        enhanced = self.extractor.enhance_features(feats)
+        ref_flat = self.extractor.pool_flat(enhanced[0], ref_props.boxes[0])
+        key_flat = self.extractor.pool_flat(enhanced[0], key_props.boxes[0])
+        return {
+            "rois": ref_props.boxes[0], "roi_valid": ref_props.valid[0],
+            "feats": self.extractor.fc0(ref_flat),
+            "key_rois": key_props.boxes[0], "key_valid": key_props.valid[0],
+            "key_feats": self.extractor.fc0(key_flat),
+        }
 
     def init_carry(self, entry, size) -> RDNCarry:
         """Fill all T slots with frame 0's cache (the reference's warmup
         replication, generalized_rcnn_rdn.py:146-151)."""
         t = self.v.all_frame_interval
-        fmap, rois, valid, pooled = entry
         tile = lambda a: jnp.tile(a[None], (t,) + (1,) * a.ndim)  # noqa: E731
         return RDNCarry(
-            maps=tile(fmap), rois=tile(rois), roi_valid=tile(valid),
-            feats=tile(pooled), sizes=tile(size),
+            rois=tile(entry["rois"]), roi_valid=tile(entry["roi_valid"]),
+            feats=tile(entry["feats"]),
+            key_rois=tile(entry["key_rois"]), key_valid=tile(entry["key_valid"]),
+            key_feats=tile(entry["key_feats"]),
+            sizes=tile(size),
         )
 
     def push_carry(self, carry: RDNCarry, entry, size) -> RDNCarry:
-        fmap, rois, valid, pooled = entry
         return RDNCarry(
-            maps=_push(carry.maps, fmap),
-            rois=_push(carry.rois, rois),
-            roi_valid=_push(carry.roi_valid, valid),
-            feats=_push(carry.feats, pooled),
+            rois=_push(carry.rois, entry["rois"]),
+            roi_valid=_push(carry.roi_valid, entry["roi_valid"]),
+            feats=_push(carry.feats, entry["feats"]),
+            key_rois=_push(carry.key_rois, entry["key_rois"]),
+            key_valid=_push(carry.key_valid, entry["key_valid"]),
+            key_feats=_push(carry.key_feats, entry["key_feats"]),
             sizes=_push(carry.sizes, size),
         )
 
     def detect_key(self, carry: RDNCarry) -> Detections:
-        """Detect on the key-slot frame using all cached refs."""
-        c, v = self.c, self.v
-        key_map = carry.maps[v.key_frame_location]
-        key_size = carry.sizes[v.key_frame_location][None]
+        """Detect on the key-slot frame using all cached refs.
 
-        objectness, deltas = self.rpn(key_map[None])
-        anchors = self._anchors(key_map.shape[0], key_map.shape[1])
-        props = rpn_postprocess(
-            objectness, deltas, anchors, key_size, self._key_sizes(train=False)
-        )
+        Convolution-free: key proposals + pooled features were computed when
+        the frame entered the window."""
+        c, v = self.c, self.v
+        k = v.key_frame_location
+        key_size = carry.sizes[k][None]
+        key_rois = carry.key_rois[k]
+        key_valid = carry.key_valid[k]
 
         t = v.all_frame_interval
         m = t * c.ref_post_nms_top_n
         x = self.extractor.extract_test(
-            key_map,
-            props.boxes[0],
+            carry.key_feats[k],
+            key_rois,
             carry.rois.reshape(m, 4),
             carry.roi_valid.reshape(m),
             carry.feats.reshape(m, -1),
         )
         class_logits, box_reg = self.predictor(x)
         return postprocess_detections(
-            class_logits[None], box_reg[None], props.boxes, props.valid, key_size,
+            class_logits[None], box_reg[None], key_rois[None], key_valid[None], key_size,
             bbox_reg_weights=c.bbox_reg_weights,
             score_thresh=c.score_thresh,
             nms_thresh=c.nms_thresh,

@@ -110,16 +110,20 @@ class RDNFeatureExtractor(nn.Module):
         cur_rois: jnp.ndarray,
         ref_rois: jnp.ndarray,
         ref_valid: jnp.ndarray,
+        skip_first_fc: bool = False,
     ) -> jnp.ndarray:
         """Base attention stages + optional advanced distillation stage.
 
         x: (N, S) raw pooled-flat current features (fc applied inside, like
-        the reference's per-stage `relu(fcs[i](x))`).
+        the reference's per-stage `relu(fcs[i](x))`), or — with
+        skip_first_fc — features with fcs[0] already applied (streaming
+        caches store fc0'd features to keep the carry small).
         x_refs: (M, 1024) fc0'd reference features, M = T * base_num.
         """
         pos = position_embedding(cur_rois, ref_rois, self.embed_dim)
         for i in range(self.base_stage):
-            x = nn.relu(self.fcs[i](x.astype(self.dtype)).astype(jnp.float32))
+            if not (skip_first_fc and i == 0):
+                x = nn.relu(self.fcs[i](x.astype(self.dtype)).astype(jnp.float32))
             x = x + self.attn[i](x, x_refs, ref_valid, pos)
 
         if self.advanced_stage > 0:
@@ -178,11 +182,12 @@ class RDNFeatureExtractor(nn.Module):
 
     def extract_test(
         self,
-        key_map: jnp.ndarray,  # (H, W, 1024) key frame C4 map
+        x: jnp.ndarray,  # (K, 1024) key-frame ROI features, fcs[0] applied
         cur_rois: jnp.ndarray,  # (K, 4) key-frame proposals
         ref_rois: jnp.ndarray,  # (M, 4) all cached ref rois (T*base_num)
         ref_valid: jnp.ndarray,  # (M,)
         ref_feats: jnp.ndarray,  # (M, 1024) cached fc0'd features
     ) -> jnp.ndarray:
-        x = self.pool_flat(self.enhance_features(key_map[None])[0], cur_rois)
-        return self._stages(x, ref_feats, cur_rois, ref_rois, ref_valid)
+        return self._stages(
+            x, ref_feats, cur_rois, ref_rois, ref_valid, skip_first_fc=True
+        )

@@ -100,8 +100,11 @@ def test_rdn_streaming(rdn):
     carry = model.apply(
         {"params": params}, entry, one.sizes[0], method=model.init_carry
     )
-    assert carry.maps.shape[0] == TINY_V.all_frame_interval
+    assert carry.rois.shape[0] == TINY_V.all_frame_interval
     assert carry.feats.shape == (5, 10, 1024)
+    # key-frame quantities precomputed at entry (convolution-free detect)
+    assert carry.key_rois.shape == (5, TINY_C.post_nms_top_n_test, 4)
+    assert carry.key_feats.shape == (5, TINY_C.post_nms_top_n_test, 1024)
 
     step = jax.jit(
         lambda p, c, im: model.apply({"params": p}, c, im, method=model.test_step)
