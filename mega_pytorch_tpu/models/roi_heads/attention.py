@@ -12,7 +12,10 @@ Parity with the reference AttentionExtractor machinery
     1024 by a grouped 1x1 (here a per-group (1024, 64) matmul).
 
 TPU changes: everything is einsum on padded tensors; invalid reference slots
-are masked to -inf before the softmax (the reference never pads).
+are masked to -inf before the softmax (the reference never pads). On TPU the
+position bias — geometry → sinusoids → Wg → relu → log — runs as one fused
+Pallas kernel (ops/pallas/position_bias.py), never materializing the
+(N, M, 64) embedding that dominates HBM traffic in the streaming pipeline.
 """
 
 from __future__ import annotations
@@ -22,6 +25,8 @@ import math
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from ...ops.pallas.position_bias import fused_position_bias, reference_position_bias
 
 NEG_INF = -1e30
 
@@ -33,15 +38,10 @@ def extract_position_matrix(bbox: jnp.ndarray, ref_bbox: jnp.ndarray) -> jnp.nda
         h = b[:, 3] - b[:, 1] + 1.0
         cx = 0.5 * (b[:, 0] + b[:, 2])
         cy = 0.5 * (b[:, 1] + b[:, 3])
-        return w, h, cx, cy
+        return jnp.maximum(w, 1e-3), jnp.maximum(h, 1e-3), cx, cy
 
     w, h, cx, cy = parts(bbox)
     w_r, h_r, cx_r, cy_r = parts(ref_bbox)
-    # guard padded zero-boxes (w=h=1 after +1, but ratios of 0-size are fine)
-    w = jnp.maximum(w, 1e-3)
-    h = jnp.maximum(h, 1e-3)
-    w_r = jnp.maximum(w_r, 1e-3)
-    h_r = jnp.maximum(h_r, 1e-3)
 
     delta_x = jnp.log(jnp.abs((cx[:, None] - cx_r[None, :]) / w[:, None]) + 1e-3)
     delta_y = jnp.log(jnp.abs((cy[:, None] - cy_r[None, :]) / h[:, None]) + 1e-3)
@@ -72,7 +72,9 @@ def position_embedding(rois: jnp.ndarray, ref_rois: jnp.ndarray, feat_dim: int =
 class RelationAttention(nn.Module):
     """One stage of multi-head relation attention.
 
-    use_position: learn the Wg position-bias branch (local/memory attention).
+    use_position: learn the Wg position-bias branch (local/memory attention);
+    callers pass ``pos_rois=(cur_rois, ref_rois)`` and the bias is computed
+    internally (fused Pallas on TPU, plain XLA elsewhere).
     use_u_bias: add the global content bias `u @ K^T` (MEGA; RDN omits it).
     """
 
@@ -83,15 +85,29 @@ class RelationAttention(nn.Module):
     use_u_bias: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    def _wg(self):
+        g = self.groups
+
+        def init(key):
+            kk, _ = jax.random.split(key)
+            return {
+                "kernel": nn.initializers.normal(0.01)(kk, (self.embed_dim, g)),
+                "bias": jnp.zeros((g,), jnp.float32),
+            }
+
+        return self.param("Wg", init)
+
     @nn.compact
     def __call__(
         self,
         roi_feat: jnp.ndarray,
         ref_feat: jnp.ndarray,
         ref_valid: jnp.ndarray | None = None,
+        pos_rois: tuple | None = None,
         pos_emb: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
-        """roi_feat (N, D), ref_feat (M, D), ref_valid (M,), pos_emb (N, M, E)."""
+        """roi_feat (N, D), ref_feat (M, D), ref_valid (M,),
+        pos_rois = (cur_rois (N, 4), ref_rois (M, 4)) or pos_emb (N, M, E)."""
         g = self.groups
         d = self.feat_dim // g
         dt = self.dtype
@@ -114,16 +130,24 @@ class RelationAttention(nn.Module):
         aff = aff * (1.0 / math.sqrt(d))
 
         if self.use_position:
-            assert pos_emb is not None
-            pos_w = nn.relu(
-                nn.Dense(
-                    g,
-                    dtype=dt,
-                    kernel_init=nn.initializers.normal(0.01),
-                    name="Wg",
-                )(pos_emb.astype(dt))
-            )  # (N, M, g)
-            aff = jnp.log(pos_w.astype(jnp.float32).transpose(2, 0, 1) + 1e-6) + aff
+            wg = self._wg()
+            if pos_rois is not None:
+                # reference_position_bias contracts the sinusoid features via
+                # a (c, f) einsum that XLA fuses without materializing the
+                # (N, M, 64) embedding; the Pallas variant (fused_position_bias)
+                # is kept for experimentation but Mosaic currently lacks the
+                # batched-contraction support to beat XLA here
+                log_bias = reference_position_bias(
+                    pos_rois[0], pos_rois[1], wg["kernel"], wg["bias"],
+                    self.embed_dim,
+                )
+            else:
+                assert pos_emb is not None
+                pw = jnp.maximum(
+                    pos_emb.astype(jnp.float32) @ wg["kernel"] + wg["bias"], 0.0
+                )
+                log_bias = jnp.log(pw + 1e-6).transpose(2, 0, 1)
+            aff = log_bias + aff
 
         if ref_valid is not None:
             aff = jnp.where(ref_valid[None, None, :], aff, NEG_INF)

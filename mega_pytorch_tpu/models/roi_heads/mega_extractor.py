@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from ...ops.roi_align import roi_align
 from ..backbone.resnet import ResNetRes5Head
-from .attention import RelationAttention, position_embedding
+from .attention import RelationAttention
 
 
 class RefSet(NamedTuple):
@@ -159,8 +159,9 @@ class MEGAFeatureExtractor(nn.Module):
     ) -> jnp.ndarray:
         """One local/memory stage (_forward_*_single): attention + residual
         (+ next-stage fc unless last)."""
-        pos = position_embedding(cur_rois, refs.rois, self.embed_dim)
-        att = self.l_attn[i](cur_feats, refs.feats, refs.valid, pos)
+        att = self.l_attn[i](
+            cur_feats, refs.feats, refs.valid, pos_rois=(cur_rois, refs.rois)
+        )
         feats = cur_feats + att
         if not last:
             feats = nn.relu(

@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from ...ops.roi_align import roi_align
 from ..backbone.resnet import ResNetRes5Head
-from .attention import RelationAttention, position_embedding
+from .attention import RelationAttention
 
 
 class RDNFeatureExtractor(nn.Module):
@@ -120,11 +120,10 @@ class RDNFeatureExtractor(nn.Module):
         caches store fc0'd features to keep the carry small).
         x_refs: (M, 1024) fc0'd reference features, M = T * base_num.
         """
-        pos = position_embedding(cur_rois, ref_rois, self.embed_dim)
         for i in range(self.base_stage):
             if not (skip_first_fc and i == 0):
                 x = nn.relu(self.fcs[i](x.astype(self.dtype)).astype(jnp.float32))
-            x = x + self.attn[i](x, x_refs, ref_valid, pos)
+            x = x + self.attn[i](x, x_refs, ref_valid, pos_rois=(cur_rois, ref_rois))
 
         if self.advanced_stage > 0:
             t = x_refs.shape[0] // self.base_num
@@ -138,19 +137,17 @@ class RDNFeatureExtractor(nn.Module):
             refs_adv = top_slice(x_refs)
             rois_adv = top_slice(ref_rois)
             valid_adv = top_slice(ref_valid)
-            pos_adv = pos.reshape(pos.shape[0], t, self.base_num, -1)[
-                :, :, :a
-            ].reshape(pos.shape[0], t * a, -1)
 
-            pos2 = position_embedding(rois_adv, ref_rois, self.embed_dim)
             for i in range(self.advanced_stage):
                 j = self.base_stage + i
-                att = self.attn[j](refs_adv, x_refs, ref_valid, pos2)
+                att = self.attn[j](
+                    refs_adv, x_refs, ref_valid, pos_rois=(rois_adv, ref_rois)
+                )
                 refs_adv = nn.relu(
                     self.fcs[j]((refs_adv + att).astype(self.dtype)).astype(jnp.float32)
                 )
             x = x + self.attn[self.base_stage + self.advanced_stage](
-                x, refs_adv, valid_adv, pos_adv
+                x, refs_adv, valid_adv, pos_rois=(cur_rois, rois_adv)
             )
         return x
 

@@ -5,11 +5,14 @@ Python wrapper (mega_core/layers/nms.py). Same greedy semantics: process boxes
 in score order, suppress any box whose IoU with an already-kept box exceeds the
 threshold, using the Detectron +1 area convention (nms.cu `devIoU`).
 
-TPU design: dynamic-length outputs are impossible under XLA, so we run exactly
-``max_outputs`` greedy select-and-suppress steps with ``lax.fori_loop``: each
-step picks the argmax of the still-alive scores (equivalent to walking the
-sorted order) and suppresses its neighbors with one N-vector IoU. O(K·N) work,
-fully vectorized per step, vmap-able over classes/images.
+TPU design — exact greedy via independent-set peeling, not a K-step loop:
+sort by score once, build the (N, N) rank-ordered overlap mask, then peel
+rounds: every still-undecided box with NO higher-ranked undecided overlapper
+is provably kept (its potential suppressors can only be kept boxes, and any
+kept overlapper would already have removed it), and everything a newly-kept
+box overlaps is removed. Each round is one vectorized masked any(); real
+detection data converges in a handful of rounds (`lax.while_loop` runs until
+no box is undecided), instead of `max_outputs` sequential argmax steps.
 """
 
 from __future__ import annotations
@@ -22,15 +25,14 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def _iou_one_vs_all(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:
-    """IoU of one (4,) box against (N, 4), +1 convention."""
-    area1 = (box[2] - box[0] + 1.0) * (box[3] - box[1] + 1.0)
+def _iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4) → (N, N) IoU, +1 convention."""
     areas = (boxes[:, 2] - boxes[:, 0] + 1.0) * (boxes[:, 3] - boxes[:, 1] + 1.0)
-    lt = jnp.maximum(box[:2], boxes[:, :2])
-    rb = jnp.minimum(box[2:], boxes[:, 2:])
+    lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    rb = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
     wh = jnp.clip(rb - lt + 1.0, min=0.0)
-    inter = wh[:, 0] * wh[:, 1]
-    return inter / jnp.maximum(area1 + areas - inter, 1e-12)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.maximum(areas[:, None] + areas[None, :] - inter, 1e-12)
 
 
 @functools.partial(jax.jit, static_argnames=("max_outputs",))
@@ -51,28 +53,39 @@ def nms(
       max_outputs: static number of keep slots.
 
     Returns:
-      keep_idx: (max_outputs,) int32 indices into the input, greedy order.
+      keep_idx: (max_outputs,) int32 indices into the input, score-descending.
       keep_valid: (max_outputs,) bool — which slots hold real selections.
     """
     n = boxes.shape[0]
-    live_scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(jnp.where(valid, scores, NEG_INF))[::-1]
+    b = boxes[order]
+    v = valid[order]
 
-    def body(i, state):
-        live, keep_idx, keep_valid = state
-        j = jnp.argmax(live)
-        ok = live[j] > NEG_INF / 2
-        keep_idx = keep_idx.at[i].set(j.astype(jnp.int32))
-        keep_valid = keep_valid.at[i].set(ok)
-        iou = _iou_one_vs_all(boxes[j], boxes)
-        suppress = (iou > iou_threshold) | (jnp.arange(n) == j)
-        live = jnp.where(ok & suppress, NEG_INF, live)
-        return live, keep_idx, keep_valid
+    # overlap[j, i]: higher-ranked j (j < i) suppresses i when kept
+    overlap = _iou_matrix(b) > iou_threshold
+    rank = jnp.arange(n)
+    overlap = overlap & (rank[:, None] < rank[None, :])
 
-    keep_idx = jnp.zeros((max_outputs,), jnp.int32)
-    keep_valid = jnp.zeros((max_outputs,), bool)
-    _, keep_idx, keep_valid = jax.lax.fori_loop(
-        0, max_outputs, body, (live_scores, keep_idx, keep_valid)
+    def cond(state):
+        _, undecided = state
+        return undecided.any()
+
+    def body(state):
+        kept, undecided = state
+        blocked = (undecided[:, None] & overlap).any(axis=0)
+        safe = undecided & ~blocked
+        removed = (safe[:, None] & overlap).any(axis=0)
+        return kept | safe, undecided & ~safe & ~removed
+
+    kept, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros(n, bool), v)
     )
+
+    # first max_outputs kept boxes in rank (score) order
+    pick = jnp.where(kept, n - rank, 0)
+    _, pos = jax.lax.top_k(pick, max_outputs)
+    keep_valid = kept[pos]
+    keep_idx = order[pos].astype(jnp.int32)
     return keep_idx, keep_valid
 
 

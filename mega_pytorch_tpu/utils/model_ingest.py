@@ -225,3 +225,68 @@ def init_inference_params(model, method: str, preprocessor, dataset, logger=None
     if method == "mega":
         return model.init(key, carry, one, method=model.test_step)["params"]
     return model.init(key, carry, one, method=model.test_step)["params"]
+
+
+# ---------------------------------------------------------------------------
+# Caffe2 / Detectron pickle ingestion (ImageNet-pretrained backbones)
+# ---------------------------------------------------------------------------
+# The reference converts Detectron blob names to torch names in
+# utils/c2_model_loading.py:12-63 and loads them with suffix matching. The
+# catalog:// ImageNet R-50/R-101 pkls contain only backbone blobs with
+# AffineChannel (folded) BN: scale/bias only — which matches FrozenBN with
+# running_mean=0 / running_var=1 (our init), so loading weight/bias alone is
+# exact.
+
+_C2_BLOCK = re.compile(r"^res(\d)_(\d+)_branch(1|2a|2b|2c)(_bn)?_(w|b|s)$")
+_C2_STEM = re.compile(r"^(?:res_)?conv1(_bn)?_(w|b|s)$")
+
+_BRANCH_CONV = {"2a": "conv1", "2b": "conv2", "2c": "conv3", "1": "downsample_conv"}
+_BRANCH_BN = {"2a": "bn1", "2b": "bn2", "2c": "bn3", "1": "downsample_bn"}
+_C2_LEAF = {"w": "kernel", "s": "weight", "b": "bias"}
+
+
+def c2_blob_to_path(name: str):
+    """One Detectron blob name → (flax path rooted at the backbone, is_layer4)."""
+    if name.endswith("_momentum") or name.startswith("fc1000"):
+        return None
+    m = _C2_STEM.match(name)
+    if m:
+        is_bn, leaf = m.group(1), m.group(2)
+        mod = "bn1" if is_bn else "conv1"
+        return ("stem", mod, _C2_LEAF[leaf]), False
+    m = _C2_BLOCK.match(name)
+    if m:
+        stage, block, branch, is_bn, leaf = m.groups()
+        layer = f"layer{int(stage) - 1}"
+        mod = (_BRANCH_BN if is_bn else _BRANCH_CONV)[branch]
+        return (layer, str(int(block)), mod, _C2_LEAF[leaf]), layer == "layer4"
+    return None
+
+
+def convert_c2_blobs(blobs: dict) -> dict:
+    """Detectron blob dict → {"backbone": ..., "extractor": {"head": ...}}.
+
+    layer4 (res5) lands under the box-head extractor, mirroring the
+    reference's suffix matching of ImageNet weights into the ROI head."""
+    tree: dict = {}
+    for name, arr in blobs.items():
+        hit = c2_blob_to_path(name)
+        if hit is None:
+            continue
+        path, is_l4 = hit
+        arr = np.asarray(arr)
+        if path[-1] == "kernel":
+            arr = conv_kernel(arr)
+        root = ("extractor", "head") if is_l4 else ("backbone",)
+        set_in_tree(tree, root + path, arr)
+    return tree
+
+
+def load_c2_weights(path: str, init_params, logger=None):
+    """Load a Detectron .pkl (catalog:// ImageNet pretrained) onto init params."""
+    import pickle as pk
+
+    with open(path, "rb") as f:
+        payload = pk.load(f, encoding="latin1")
+    blobs = payload.get("blobs", payload) if isinstance(payload, dict) else payload
+    return merge_params(init_params, convert_c2_blobs(blobs), logger)

@@ -120,7 +120,7 @@ def test_relation_attention_parity_rdn():
             jnp.asarray(roi),
             jnp.asarray(ref),
             jnp.ones(m, bool),
-            jnp.asarray(pos.numpy()),
+            pos_emb=jnp.asarray(pos.numpy()),
         )
     )
     np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-3)
@@ -154,12 +154,43 @@ def test_masking_equals_dropping_refs():
     params, _ = _make_params_and_oracle(rng, use_u=True)
     mod = RelationAttention(use_position=True, use_u_bias=True)
 
-    pos_full = position_embedding(boxes_n, boxes_m)
     valid = jnp.array([True] * 6 + [False] * 4)
-    out_masked = mod.apply({"params": params}, roi, ref, valid, pos_full)
+    out_masked = mod.apply({"params": params}, roi, ref, valid, pos_rois=(boxes_n, boxes_m))
 
-    pos_sub = position_embedding(boxes_n, boxes_m[:6])
-    out_dropped = mod.apply({"params": params}, roi, ref[:6], jnp.ones(6, bool), pos_sub)
+    out_dropped = mod.apply(
+        {"params": params}, roi, ref[:6], jnp.ones(6, bool), pos_rois=(boxes_n, boxes_m[:6])
+    )
     np.testing.assert_allclose(
         np.asarray(out_masked), np.asarray(out_dropped), rtol=1e-4, atol=1e-4
     )
+
+
+def test_fused_position_bias_matches_reference_path():
+    """Pallas kernel (interpret mode) == XLA fallback == unfused emb@Wg path."""
+    from mega_pytorch_tpu.ops.pallas.position_bias import (
+        fused_position_bias,
+        reference_position_bias,
+    )
+
+    rng = np.random.RandomState(5)
+    n, m, g = 40, 300, 16
+    rois = jnp.asarray(_rand_boxes(rng, n))
+    refs = jnp.asarray(_rand_boxes(rng, m))
+    wk = jnp.asarray(rng.randn(64, g).astype(np.float32) * 0.05)
+    wb = jnp.asarray(rng.randn(g).astype(np.float32) * 0.01)
+
+    ref_out = np.asarray(reference_position_bias(rois, refs, wk, wb))
+    # unfused semantics: log(relu(emb @ W + b) + 1e-6)
+    emb = position_embedding(rois, refs)
+    unfused = np.asarray(
+        jnp.log(jnp.maximum(emb @ wk + wb, 0.0) + 1e-6).transpose(2, 0, 1)
+    )
+    fused = np.asarray(
+        fused_position_bias(rois, refs, wk, wb, tile_n=16, tile_m=128, interpret=True)
+    )
+    assert fused.shape == (g, n, m)
+    # compare in weight space (exp of the log bias): log-space error is
+    # amplified unboundedly near relu zeros where the weight (≈1e-6) is
+    # irrelevant to the softmax outcome
+    np.testing.assert_allclose(np.exp(ref_out), np.exp(unfused), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.exp(fused), np.exp(ref_out), rtol=2e-3, atol=2e-4)

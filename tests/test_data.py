@@ -237,3 +237,58 @@ def test_evaluator_motion_ignore():
     assert res["slow"]["map"] == pytest.approx(1.0)
     assert np.isnan(res["fast"]["ap"][1])
     assert res["all"]["map"] == pytest.approx(1.0)
+
+
+def test_coco_dataset(tmp_path):
+    import json
+
+    from mega_pytorch_tpu.data.datasets.coco_voc import COCODataset
+
+    (tmp_path / "imgs").mkdir()
+    Image.fromarray(np.zeros((40, 50, 3), np.uint8)).save(tmp_path / "imgs" / "a.jpg")
+    Image.fromarray(np.zeros((40, 50, 3), np.uint8)).save(tmp_path / "imgs" / "b.jpg")
+    ann = {
+        "images": [
+            {"id": 7, "file_name": "a.jpg", "height": 40, "width": 50},
+            {"id": 9, "file_name": "b.jpg", "height": 40, "width": 50},
+        ],
+        "annotations": [
+            {"id": 1, "image_id": 7, "category_id": 18, "bbox": [10, 10, 20, 15], "iscrowd": 0},
+            {"id": 2, "image_id": 7, "category_id": 3, "bbox": [5, 5, 8, 8], "iscrowd": 0},
+        ],
+        "categories": [{"id": 3, "name": "car"}, {"id": 18, "name": "dog"}],
+    }
+    f = tmp_path / "ann.json"
+    f.write_text(json.dumps(ann))
+
+    ds = COCODataset(str(f), str(tmp_path / "imgs"))
+    assert len(ds) == 1  # image 9 has no annotations
+    s = ds[0]
+    gt = s["gt"]
+    assert gt["boxes"].shape == (2, 4)
+    np.testing.assert_allclose(gt["boxes"][0], [10, 10, 29, 24])  # xywh→xyxy (-1)
+    # contiguous ids: cat 3 → 1, cat 18 → 2
+    assert sorted(gt["labels"].tolist()) == [1, 2]
+
+    ds_all = COCODataset(str(f), str(tmp_path / "imgs"), remove_images_without_annotations=False)
+    assert len(ds_all) == 2
+
+
+def test_voc_dataset(tmp_path):
+    from mega_pytorch_tpu.data.datasets.coco_voc import PascalVOCDataset
+
+    (tmp_path / "JPEGImages").mkdir()
+    (tmp_path / "Annotations").mkdir()
+    (tmp_path / "ImageSets" / "Main").mkdir(parents=True)
+    Image.fromarray(np.zeros((30, 40, 3), np.uint8)).save(tmp_path / "JPEGImages" / "000001.jpg")
+    (tmp_path / "Annotations" / "000001.xml").write_text(
+        "<annotation><size><height>30</height><width>40</width></size>"
+        "<object><name>dog</name><difficult>0</difficult><bndbox>"
+        "<xmin>11</xmin><ymin>6</ymin><xmax>21</xmax><ymax>16</ymax></bndbox></object>"
+        "</annotation>"
+    )
+    (tmp_path / "ImageSets" / "Main" / "train.txt").write_text("000001\n")
+    ds = PascalVOCDataset(str(tmp_path), "train")
+    s = ds[0]
+    np.testing.assert_allclose(s["gt"]["boxes"][0], [10, 5, 20, 15])  # 1-indexed → 0
+    assert ds.map_class_id_to_class_name(int(s["gt"]["labels"][0])) == "dog"

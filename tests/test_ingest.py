@@ -188,3 +188,55 @@ def test_merge_rejects_shape_mismatch():
     init = {"a": {"kernel": np.zeros((2, 3))}}
     with pytest.raises(ValueError, match="shape mismatch"):
         merge_params(init, {"a": {"kernel": np.zeros((3, 2))}})
+
+
+def test_c2_blob_mapping_and_merge():
+    """Detectron blob names → backbone/extractor tree; AffineChannel BN loads
+    as FrozenBN weight/bias with default (0, 1) stats."""
+    from mega_pytorch_tpu.utils.model_ingest import c2_blob_to_path, convert_c2_blobs
+
+    assert c2_blob_to_path("conv1_w") == (("stem", "conv1", "kernel"), False)
+    assert c2_blob_to_path("res_conv1_bn_s") == (("stem", "bn1", "weight"), False)
+    assert c2_blob_to_path("res2_0_branch2a_w") == (
+        ("layer1", "0", "conv1", "kernel"), False,
+    )
+    assert c2_blob_to_path("res2_0_branch1_bn_b") == (
+        ("layer1", "0", "downsample_bn", "bias"), False,
+    )
+    assert c2_blob_to_path("res5_2_branch2c_bn_s") == (
+        ("layer4", "2", "bn3", "weight"), True,
+    )
+    assert c2_blob_to_path("fc1000_w") is None
+    assert c2_blob_to_path("res2_0_branch2a_b_momentum") is None
+
+    rng = np.random.RandomState(0)
+    blobs = {
+        "conv1_w": rng.randn(64, 3, 7, 7).astype(np.float32),
+        "res_conv1_bn_s": rng.rand(64).astype(np.float32),
+        "res_conv1_bn_b": rng.rand(64).astype(np.float32),
+        "res5_0_branch2a_w": rng.randn(512, 1024, 1, 1).astype(np.float32),
+        "fc1000_w": rng.randn(1000, 2048).astype(np.float32),
+    }
+    tree = convert_c2_blobs(blobs)
+    assert tree["backbone"]["stem"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+    assert tree["extractor"]["head"]["layer4"]["0"]["conv1"]["kernel"].shape == (1, 1, 1024, 512)
+    assert "fc1000" not in str(tree)
+
+
+def test_load_c2_pickle_roundtrip(tmp_path):
+    import pickle
+
+    from mega_pytorch_tpu.utils.model_ingest import load_c2_weights
+
+    rng = np.random.RandomState(1)
+    blobs = {"conv1_w": rng.randn(4, 3, 7, 7).astype(np.float32)}
+    p = tmp_path / "r50.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"blobs": blobs}, f, protocol=2)
+
+    init = {"backbone": {"stem": {"conv1": {"kernel": np.zeros((7, 7, 3, 4), np.float32)}}}}
+    merged = load_c2_weights(str(p), init)
+    np.testing.assert_allclose(
+        merged["backbone"]["stem"]["conv1"]["kernel"],
+        np.transpose(blobs["conv1_w"], (2, 3, 1, 0)),
+    )

@@ -1,0 +1,159 @@
+"""Detector-zoo components outside the VID path: FPN, RetinaNet, mask and
+keypoint heads, segmentation structures."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mega_pytorch_tpu.models.backbone.fpn import FPN, ResNetFPNBody
+from mega_pytorch_tpu.models.roi_heads.mask_head import (
+    KeypointRCNNFeatureExtractor,
+    KeypointRCNNPredictor,
+    MaskRCNNC4Predictor,
+    MaskRCNNFPNFeatureExtractor,
+    keypointrcnn_inference,
+    keypointrcnn_loss,
+    maskrcnn_inference,
+    maskrcnn_loss,
+)
+from mega_pytorch_tpu.models.rpn.retinanet import (
+    RetinaNetHead,
+    retinanet_anchors,
+    retinanet_inference,
+    retinanet_loss,
+)
+from mega_pytorch_tpu.structures.segmentation import (
+    FLIP_LEFT_RIGHT,
+    Keypoints,
+    PolygonInstance,
+    SegmentationMask,
+)
+
+
+def test_fpn_pyramid_shapes():
+    body = ResNetFPNBody(depth="R-50")
+    x = jnp.zeros((1, 128, 160, 3))
+    params = body.init(jax.random.PRNGKey(0), x)["params"]
+    feats = body.apply({"params": params}, x)
+    assert [f.shape[-1] for f in feats] == [256, 512, 1024, 2048]
+    assert feats[0].shape[1:3] == (32, 40)  # stride 4
+    assert feats[3].shape[1:3] == (4, 5)  # stride 32
+
+    fpn = FPN(out_channels=256, top_block="maxpool")
+    fp = fpn.init(jax.random.PRNGKey(1), feats)["params"]
+    levels = fpn.apply({"params": fp}, feats)
+    assert len(levels) == 5  # P2..P6
+    assert all(l.shape[-1] == 256 for l in levels)
+    assert levels[0].shape[1:3] == (32, 40)
+    assert levels[4].shape[1:3] == (2, 3)  # P6 = stride-2 maxpool of P5
+
+    fpn7 = FPN(out_channels=256, top_block="p6p7")
+    fp7 = fpn7.init(jax.random.PRNGKey(2), feats[1:])["params"]
+    levels7 = fpn7.apply({"params": fp7}, feats[1:])
+    assert len(levels7) == 5  # P3..P7
+
+
+def test_retinanet_head_loss_inference():
+    shapes = [(8, 10), (4, 5)]
+    feats = [jnp.zeros((1, h, w, 256)) for h, w in shapes]
+    head = RetinaNetHead(num_classes=5, num_anchors=9, num_convs=2)
+    params = head.init(jax.random.PRNGKey(0), feats)["params"]
+    logits, bbox = head.apply({"params": params}, feats)
+    assert logits[0].shape == (1, 8 * 10 * 9, 5)
+    assert bbox[1].shape == (1, 4 * 5 * 9, 4)
+
+    anchors = retinanet_anchors(shapes, sizes=(32, 64), strides=(8, 16))
+    assert anchors[0].shape == (8 * 10 * 9, 4)
+
+    all_anchors = jnp.concatenate(anchors, axis=0)
+    all_logits = jnp.concatenate([l[0] for l in logits], axis=0)
+    all_bbox = jnp.concatenate([b[0] for b in bbox], axis=0)
+    gt = jnp.array([[5.0, 5.0, 40.0, 40.0]])
+    cls_loss, reg_loss = retinanet_loss(
+        all_anchors, all_logits, all_bbox, gt, jnp.array([2]), jnp.array([True])
+    )
+    assert np.isfinite(float(cls_loss)) and np.isfinite(float(reg_loss))
+    # prior-prob bias init keeps the focal loss small at start
+    assert float(cls_loss) < 5.0
+
+    boxes, scores, labels, valid = retinanet_inference(
+        anchors, [l[0] for l in logits], [b[0] for b in bbox],
+        (64.0, 80.0), pre_nms_top_n=50, detections_per_img=10,
+    )
+    assert boxes.shape == (10, 4)
+    assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_mask_head_roundtrip():
+    ext = MaskRCNNFPNFeatureExtractor(resolution=14)
+    feat = jnp.zeros((1, 16, 20, 64))
+    rois = jnp.array([[[16.0, 16.0, 128.0, 128.0], [0.0, 0.0, 64.0, 64.0]]])
+    p = ext.init(jax.random.PRNGKey(0), feat, rois)["params"]
+    x = ext.apply({"params": p}, feat, rois)
+    assert x.shape == (1, 2, 14, 14, 256)
+
+    pred = MaskRCNNC4Predictor(num_classes=5)
+    pp = pred.init(jax.random.PRNGKey(1), x)["params"]
+    logits = pred.apply({"params": pp}, x)
+    assert logits.shape == (1, 2, 28, 28, 5)
+
+    labels = jnp.array([[1, 3]])
+    valid = jnp.array([[True, True]])
+    targets = jnp.zeros((1, 2, 28, 28)).at[:, :, 5:15, 5:15].set(1.0)
+    loss = maskrcnn_loss(logits, targets, labels, valid)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+    probs = maskrcnn_inference(logits, labels)
+    assert probs.shape == (1, 2, 28, 28)
+    assert float(probs.min()) >= 0 and float(probs.max()) <= 1
+
+
+def test_keypoint_head_roundtrip():
+    ext = KeypointRCNNFeatureExtractor(layers=(64, 64))
+    feat = jnp.zeros((1, 16, 20, 32))
+    rois = jnp.array([[[0.0, 0.0, 64.0, 64.0]]])
+    p = ext.init(jax.random.PRNGKey(0), feat, rois)["params"]
+    x = ext.apply({"params": p}, feat, rois)
+    pred = KeypointRCNNPredictor(num_keypoints=17)
+    pp = pred.init(jax.random.PRNGKey(1), x)["params"]
+    heat = pred.apply({"params": pp}, x)
+    assert heat.shape == (1, 1, 56, 56, 17)
+
+    targets = jnp.zeros((1, 1, 17), jnp.int32) + 5 * 56 + 9
+    vis = jnp.ones((1, 1, 17), bool)
+    loss = keypointrcnn_loss(heat, targets, vis)
+    assert np.isfinite(float(loss))
+
+    xy, scores = keypointrcnn_inference(heat, rois)
+    assert xy.shape == (1, 1, 17, 2)
+    bx = np.asarray(xy)
+    assert (bx[..., 0] >= 0).all() and (bx[..., 0] <= 64).all()
+
+
+def test_segmentation_polygon_ops():
+    # a 10x10 square at (5, 5)
+    poly = PolygonInstance([[5, 5, 15, 5, 15, 15, 5, 15]], (40, 30))
+    m = poly.rasterize()
+    assert m.shape == (30, 40)
+    assert m[10, 10] == 1 and m[0, 0] == 0
+
+    flipped = poly.transpose(FLIP_LEFT_RIGHT)
+    mf = flipped.rasterize()
+    assert mf[10, 40 - 11] == 1
+
+    resized = poly.resize((80, 60))
+    mr = resized.rasterize()
+    assert mr.shape == (60, 80) and mr[20, 20] == 1
+
+    seg = SegmentationMask([[[5, 5, 15, 5, 15, 15, 5, 15]]], (40, 30))
+    targets = seg.to_mask_targets(np.array([[5.0, 5.0, 15.0, 15.0]]), mask_size=28)
+    assert targets.shape == (1, 28, 28)
+    assert targets.mean() > 0.5  # box-tight instance fills most of the target
+
+
+def test_keypoints_ops():
+    kp = Keypoints(np.array([[[10.0, 20.0, 2.0]]]), (40, 30))
+    r = kp.resize((80, 60))
+    np.testing.assert_allclose(r.keypoints[0, 0, :2], [20.0, 40.0])
+    f = kp.transpose(FLIP_LEFT_RIGHT)
+    np.testing.assert_allclose(f.keypoints[0, 0, 0], 40 - 10 - 1)
