@@ -202,8 +202,23 @@ def load_reference_weights(path: str, init_params: Any, logger=None) -> Any:
     return merge_params(init_params, loaded, logger)
 
 
+def _union_trees(a: dict, b: dict) -> dict:
+    """Recursive union of two param trees (b wins on leaf conflicts)."""
+    out = dict(a)
+    for k, v in b.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _union_trees(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def init_inference_params(model, method: str, preprocessor, dataset, logger=None):
-    """Initialize a full param tree through the method's streaming test path."""
+    """Initialize a full param tree through the method's streaming test path.
+
+    No single streaming method touches every submodule (e.g. DFF's
+    detect_non_key never runs the backbone), so the entry/cache builder and
+    the detect step are both initialized and their trees unioned."""
     import jax
 
     from ..structures.image_list import ImageBatch
@@ -215,16 +230,16 @@ def init_inference_params(model, method: str, preprocessor, dataset, logger=None
     if method == "base":
         return model.init(key, one, train=False)["params"]
     if method == "dff":
-        tmp = model.init(key, one, method=model.make_key)["params"]
-        carry = model.apply({"params": tmp}, one, method=model.make_key)
-        return model.init(key, carry, one, method=model.detect_non_key)["params"]
+        p1 = model.init(key, one, method=model.make_key)["params"]
+        carry = model.apply({"params": p1}, one, method=model.make_key)
+        p2 = model.init(key, carry, one, method=model.detect_non_key)["params"]
+        return _union_trees(p1, p2)
     # fgfa / rdn / mega share the precompute→carry→step pattern
-    tmp = model.init(key, one, method=model.precompute)["params"]
-    entry = model.apply({"params": tmp}, one, method=model.precompute)
-    carry = model.apply({"params": tmp}, entry, one.sizes[0], method=model.init_carry)
-    if method == "mega":
-        return model.init(key, carry, one, method=model.test_step)["params"]
-    return model.init(key, carry, one, method=model.test_step)["params"]
+    p1 = model.init(key, one, method=model.precompute)["params"]
+    entry = model.apply({"params": p1}, one, method=model.precompute)
+    carry = model.apply({"params": p1}, entry, one.sizes[0], method=model.init_carry)
+    p2 = model.init(key, carry, one, method=model.test_step)["params"]
+    return _union_trees(p1, p2)
 
 
 # ---------------------------------------------------------------------------
@@ -290,3 +305,28 @@ def load_c2_weights(path: str, init_params, logger=None):
         payload = pk.load(f, encoding="latin1")
     blobs = payload.get("blobs", payload) if isinstance(payload, dict) else payload
     return merge_params(init_params, convert_c2_blobs(blobs), logger)
+
+
+# ---------------------------------------------------------------------------
+# FlowNet checkpoint ingestion (MODEL.VID.FLOWNET_WEIGHT, DFF/FGFA warm start)
+# ---------------------------------------------------------------------------
+# The reference loads models/flownet.ckpt and suffix-matches keys onto the
+# flownet.* module names (utils/checkpoint.py load_flownet +
+# model_serialization.py:39 "flownet" filter). Our flownet module names
+# mirror torch's, so the mapping is prefix-normalization + layout conversion.
+
+def load_flownet_weights(path: str, init_params, logger=None):
+    """Load a torch FlowNet checkpoint into params["flownet"] only."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    state_dict = payload.get("state_dict", payload.get("model", payload))
+    tree: dict = {}
+    for name, tensor in state_dict.items():
+        for pre in ("module.", "flownet."):
+            if name.startswith(pre):
+                name = name[len(pre):]
+        path_parts = translate_name("flownet." + name)
+        for p, arr in convert_entry(path_parts, tensor):
+            set_in_tree(tree, p, arr)
+    return merge_params(init_params, tree, logger)

@@ -157,3 +157,101 @@ def test_keypoints_ops():
     np.testing.assert_allclose(r.keypoints[0, 0, :2], [20.0, 40.0])
     f = kp.transpose(FLIP_LEFT_RIGHT)
     np.testing.assert_allclose(f.keypoints[0, 0, 0], 40 - 10 - 1)
+
+
+def test_fbnet_trunk_and_heads():
+    from mega_pytorch_tpu.models.backbone.fbnet import (
+        FBNetTrunk,
+        MODEL_ARCH,
+        add_archs,
+        build_fbnet_backbone,
+        build_fbnet_head,
+    )
+    from mega_pytorch_tpu.config import get_default_cfg
+
+    cfg = get_default_cfg()
+    trunk = build_fbnet_backbone(cfg)
+    x = jnp.zeros((1, 64, 64, 3))
+    p = trunk.init(jax.random.PRNGKey(0), x)["params"]
+    out = trunk.apply({"params": p}, x)
+    # default arch: first conv /2, then stage strides 1,2,2,2 → /16, 96 ch
+    assert out.shape == (1, 4, 4, 96)
+    assert trunk.out_channels == 96
+
+    head = build_fbnet_head(cfg, "bbox", in_channels=96)
+    hp = head.init(jax.random.PRNGKey(1), out)["params"]
+    ho = head.apply({"params": hp}, out)
+    assert ho.shape == (1, 2, 2, 240)  # bbox stage strides 2,1,1 → /2, 240 ch
+
+    # custom arch registration
+    add_archs({"tiny_test": {
+        "first": [8, 2],
+        "stages": [[[1, 8, 1, 1]], [[2, 16, 1, 2]]],
+        "backbone": [0, 1], "rpn": [], "bbox": [], "mask": [],
+        "kernel": 3,
+    }})
+    t2 = FBNetTrunk(arch="tiny_test")
+    p2 = t2.init(jax.random.PRNGKey(2), x)["params"]
+    o2 = t2.apply({"params": p2}, x)
+    assert o2.shape == (1, 16, 16, 16)
+
+
+def test_comm_single_host():
+    from mega_pytorch_tpu.utils.comm import (
+        all_gather,
+        get_rank,
+        get_world_size,
+        is_main_process,
+        reduce_dict,
+        synchronize,
+    )
+
+    assert get_world_size() == 1 and get_rank() == 0 and is_main_process()
+    synchronize()
+    assert all_gather({"a": 1}) == [{"a": 1}]
+    assert reduce_dict({"x": 2.0}) == {"x": 2.0}
+
+
+def test_registry():
+    from mega_pytorch_tpu.utils.registry import Registry
+
+    r = Registry()
+
+    @r.register("foo")
+    def foo():
+        return 42
+
+    assert r["foo"]() == 42
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        r.register("foo", foo)
+
+
+def test_flownet_ckpt_ingestion(tmp_path):
+    import torch
+
+    from mega_pytorch_tpu.models.backbone.flownet import FlowNetS
+    from mega_pytorch_tpu.utils.model_ingest import load_flownet_weights
+
+    net = FlowNetS(method="fgfa")
+    x = jnp.zeros((1, 64, 96, 6))
+    init = {"flownet": net.init(jax.random.PRNGKey(0), x)["params"]}
+
+    sd = {
+        "flow_conv1.weight": torch.randn(64, 6, 7, 7),
+        "flow_conv1.bias": torch.randn(64),
+        "deconv5.weight": torch.randn(1024, 512, 4, 4),
+        "deconv5.bias": torch.randn(512),
+    }
+    f = tmp_path / "flownet.ckpt"
+    torch.save({"state_dict": sd}, f)
+    merged = load_flownet_weights(str(f), init)
+    np.testing.assert_allclose(
+        merged["flownet"]["flow_conv1"]["kernel"],
+        sd["flow_conv1.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    np.testing.assert_allclose(
+        merged["flownet"]["deconv5"]["kernel"],
+        sd["deconv5.weight"].numpy().transpose(2, 3, 1, 0),
+    )
