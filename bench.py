@@ -33,7 +33,7 @@ import numpy as np
 REFERENCE_FPS = 8.73  # MEGA R-101, 2080Ti, 114.5 ms/frame (MEGA paper)
 
 CANVAS_H, CANVAS_W = 608, 1024
-BATCH = 4
+BATCH = 4  # parallel video lanes (vmapped streaming)
 ITERS = 16
 
 
@@ -47,7 +47,7 @@ def _build_flagship():
 
 def main():
     fn, params, state, label = _build_flagship()
-    frames_per_iter = 1  # streaming: one new frame per step
+    frames_per_iter = BATCH  # BATCH video lanes advance one frame per step
 
     @jax.jit
     def chained(params, state):

@@ -122,8 +122,12 @@ def do_train(
 
         if iteration % log_period == 0 or iteration == max_iter:
             eta = meters.meters["time"].global_avg * (max_iter - iteration)
+            from ..utils.profiler import device_memory_stats
+
+            mem = device_memory_stats().get("peak_bytes_in_use", 0)
             logger.info(
-                f"eta: {datetime.timedelta(seconds=int(eta))}  iter: {iteration}  {meters}"
+                f"eta: {datetime.timedelta(seconds=int(eta))}  iter: {iteration}  "
+                f"{meters}  max mem: {mem / 2**20:.0f}MB"
             )
         if iteration % ckpt_period == 0:
             checkpointer.save(f"model_{iteration:07d}", params, opt_state, iteration)

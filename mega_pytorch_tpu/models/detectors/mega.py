@@ -354,7 +354,11 @@ class GeneralizedRCNNMEGA(nn.Module):
 
 
 def build_mega_flagship(canvas_h: int, canvas_w: int, batch: int = 1):
-    """bench.py hook: steady-state MEGA R-101 streaming step on the eval canvas."""
+    """bench.py hook: steady-state MEGA R-101 streaming on the eval canvas.
+
+    ``batch`` > 1 vmaps the whole per-frame step over that many independent
+    video lanes — the offline-eval configuration, where lockstep lanes fill
+    the chip that a single batch-1 stream leaves idle."""
     import numpy as np
 
     c = RCNNConfig(depth="R-101", compute_dtype="bfloat16")
@@ -383,11 +387,32 @@ def build_mega_flagship(canvas_h: int, canvas_w: int, batch: int = 1):
         jax.random.PRNGKey(0), carry, one, method=GeneralizedRCNNMEGA.test_step
     )["params"]
 
-    def fn(params, state):
-        carry, images = state
+    def step_one(params, carry, images):
         new_carry, dets = model.apply(
             {"params": params}, carry, images, method=GeneralizedRCNNMEGA.test_step
         )
         return new_carry, dets.scores.sum()
 
-    return fn, params, (carry, one), "MEGA R-101 streaming"
+    if batch == 1:
+        def fn(params, state):
+            carry, images = state
+            return step_one(params, carry, images)
+
+        return fn, params, (carry, one), "MEGA R-101 streaming"
+
+    carries = jax.tree_util.tree_map(
+        lambda x: jnp.tile(x[None], (batch,) + (1,) * x.ndim), carry
+    )
+    frames = ImageBatch(
+        tensors=jnp.asarray(rs.randn(batch, 1, canvas_h, canvas_w, 3) * 50, jnp.float32),
+        sizes=jnp.tile(one.sizes[None], (batch, 1, 1)),
+    )
+
+    def fn(params, state):
+        carries, images = state
+        new_carries, scores = jax.vmap(
+            lambda cr, im: step_one(params, cr, im)
+        )(carries, images)
+        return new_carries, scores.sum()
+
+    return fn, params, (carries, frames), f"MEGA R-101 streaming x{batch} videos"

@@ -61,31 +61,56 @@ def nms(
     b = boxes[order]
     v = valid[order]
 
-    # overlap[j, i]: higher-ranked j (j < i) suppresses i when kept
-    overlap = _iou_matrix(b) > iou_threshold
+    def peel(bb, vv):
+        """Exact greedy keep mask over score-sorted boxes."""
+        m = bb.shape[0]
+        overlap = _iou_matrix(bb) > iou_threshold
+        rank = jnp.arange(m)
+        # overlap[j, i]: higher-ranked j (j < i) suppresses i when kept
+        overlap = overlap & (rank[:, None] < rank[None, :])
+
+        def cond(state):
+            _, undecided = state
+            return undecided.any()
+
+        def body(state):
+            kept, undecided = state
+            blocked = (undecided[:, None] & overlap).any(axis=0)
+            safe = undecided & ~blocked
+            removed = (safe[:, None] & overlap).any(axis=0)
+            return kept | safe, undecided & ~safe & ~removed
+
+        kept, _ = jax.lax.while_loop(cond, body, (jnp.zeros(m, bool), vv))
+        return kept
+
+    # prefix shortcut: keep decisions within the sorted prefix are final
+    # (suppression only flows from higher-ranked boxes), so when the prefix
+    # already yields >= max_outputs keeps — or contains every valid box —
+    # the full O(N^2) overlap matrix is never needed
+    prefix = min(n, max(4 * max_outputs, 512))
+    if prefix < n:
+        kept_p = peel(b[:prefix], v[:prefix])
+        enough = (kept_p.sum() >= max_outputs) | (~v[prefix:].any())
+        kept = jax.lax.cond(
+            enough,
+            lambda: jnp.concatenate([kept_p, jnp.zeros(n - prefix, bool)]),
+            lambda: peel(b, v),
+        )
+    else:
+        kept = peel(b, v)
+
+    # first max_outputs kept boxes in rank (score) order; pad the slots when
+    # fewer candidates than keep slots exist (tiny inputs)
     rank = jnp.arange(n)
-    overlap = overlap & (rank[:, None] < rank[None, :])
-
-    def cond(state):
-        _, undecided = state
-        return undecided.any()
-
-    def body(state):
-        kept, undecided = state
-        blocked = (undecided[:, None] & overlap).any(axis=0)
-        safe = undecided & ~blocked
-        removed = (safe[:, None] & overlap).any(axis=0)
-        return kept | safe, undecided & ~safe & ~removed
-
-    kept, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros(n, bool), v)
-    )
-
-    # first max_outputs kept boxes in rank (score) order
     pick = jnp.where(kept, n - rank, 0)
-    _, pos = jax.lax.top_k(pick, max_outputs)
+    k = min(max_outputs, n)
+    _, pos = jax.lax.top_k(pick, k)
     keep_valid = kept[pos]
     keep_idx = order[pos].astype(jnp.int32)
+    if k < max_outputs:
+        pad = max_outputs - k
+        keep_idx = jnp.concatenate([keep_idx, jnp.zeros(pad, jnp.int32)])
+        keep_valid = jnp.concatenate([keep_valid, jnp.zeros(pad, bool)])
     return keep_idx, keep_valid
 
 

@@ -57,12 +57,21 @@ def _tile_bias(rois, ref_rois, wg, bias, embed_dim: int):
     g = wg.shape[1]
     # contract the 64 embedding features without flattening (Mosaic rejects
     # lane/sublane-mixing reshapes): wg rows are ordered (channel, sin|cos,
-    # freq) to match the reference's concat layout
+    # freq) to match the reference's concat layout. Sinusoids are cast to
+    # bf16 before the contraction — they are bounded in [-1, 1] so bf16's
+    # 8-bit mantissa costs ~4e-3 absolute on the bias weight, well below the
+    # softmax's sensitivity, and it halves the dominant HBM traffic.
     w4 = wg.reshape(4, 2, num_freq, g)
     pw = jnp.einsum(
-        "nmcf,cfg->nmg", jnp.sin(div), w4[:, 0], preferred_element_type=jnp.float32
+        "nmcf,cfg->nmg",
+        jnp.sin(div).astype(jnp.bfloat16),
+        w4[:, 0].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
     ) + jnp.einsum(
-        "nmcf,cfg->nmg", jnp.cos(div), w4[:, 1], preferred_element_type=jnp.float32
+        "nmcf,cfg->nmg",
+        jnp.cos(div).astype(jnp.bfloat16),
+        w4[:, 1].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
     )
     pw = jnp.maximum(pw + bias, 0.0)  # (TN, TM, g)
     return jnp.log(pw + 1e-6)

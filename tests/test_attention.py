@@ -191,6 +191,8 @@ def test_fused_position_bias_matches_reference_path():
     assert fused.shape == (g, n, m)
     # compare in weight space (exp of the log bias): log-space error is
     # amplified unboundedly near relu zeros where the weight (≈1e-6) is
-    # irrelevant to the softmax outcome
-    np.testing.assert_allclose(np.exp(ref_out), np.exp(unfused), rtol=2e-3, atol=2e-4)
-    np.testing.assert_allclose(np.exp(fused), np.exp(ref_out), rtol=2e-3, atol=2e-4)
+    # irrelevant to the softmax outcome. The production path deliberately
+    # computes the sinusoid contraction in bf16 (bounded [-1, 1] inputs),
+    # so allow bf16-mantissa-level absolute error on the weights.
+    np.testing.assert_allclose(np.exp(ref_out), np.exp(unfused), rtol=5e-3, atol=6e-3)
+    np.testing.assert_allclose(np.exp(fused), np.exp(ref_out), rtol=5e-3, atol=6e-3)

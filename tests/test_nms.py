@@ -85,3 +85,33 @@ def test_batched_nms_vmaps_per_class():
         expected = np_greedy_nms(boxes[c], scores[c], 0.5)
         got = np.asarray(idx[c])[np.asarray(valid[c])]
         np.testing.assert_array_equal(got, expected)
+
+
+def test_prefix_shortcut_matches_oracle_large_n():
+    """n >> prefix: the fast path must still equal exact greedy."""
+    rng = np.random.RandomState(11)
+    boxes = _random_boxes(rng, 2000, span=600)
+    scores = rng.uniform(0, 1, 2000).astype(np.float32)
+    expected = np_greedy_nms(boxes, scores, 0.7)[:10]
+    idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(2000, bool), 0.7, 10)
+    assert np.asarray(valid).all()
+    np.testing.assert_array_equal(np.asarray(idx), expected)
+
+
+def test_prefix_fallback_when_prefix_underfills():
+    """Top-512 prefix all mutually suppressing → the full pass must run."""
+    rng = np.random.RandomState(12)
+    n = 1024
+    # first 600 boxes: one dense cluster (greedy keeps ~1); rest: spread out
+    cluster = np.tile(np.array([[100.0, 100.0, 160.0, 160.0]]), (600, 1))
+    cluster += rng.uniform(-2, 2, (600, 4))
+    spread = _random_boxes(rng, n - 600, span=5000) + 1000
+    boxes = np.concatenate([cluster, spread]).astype(np.float32)
+    scores = np.concatenate(
+        [np.linspace(1.0, 0.9, 600), np.linspace(0.5, 0.1, n - 600)]
+    ).astype(np.float32)
+    expected = np_greedy_nms(boxes, scores, 0.5)[:8]
+    idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool), 0.5, 8)
+    got = np.asarray(idx)[np.asarray(valid)]
+    np.testing.assert_array_equal(got, expected[: len(got)])
+    assert len(got) == len(expected)
