@@ -1,0 +1,92 @@
+"""Misc utilities (mega_core/utils/{miscellaneous,collect_env,imports,
+model_zoo,dist_env}.py parity).
+
+cache_url is a stub in this zero-egress environment: catalog:// and http(s)
+weights must be pre-placed on disk; the resolver maps catalog names to local
+paths under MODEL_DIR.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+
+def mkdir(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+
+
+def save_labels(label_list, output_dir: str) -> None:
+    """labels.json class map (miscellaneous.py:17-33)."""
+    mkdir(output_dir)
+    ids_to_labels = {i: name for i, name in enumerate(label_list)}
+    with open(os.path.join(output_dir, "labels.json"), "w") as f:
+        json.dump(ids_to_labels, f, indent=2)
+
+
+def save_config(cfg, path: str) -> None:
+    mkdir(os.path.dirname(path) or ".")
+    with open(path, "w") as f:
+        f.write(cfg.dump())
+
+
+def collect_env_info() -> str:
+    """Environment dump for the startup log (collect_env.py analog)."""
+    import platform
+
+    import jax
+
+    lines = [
+        f"python: {platform.python_version()}",
+        f"jax: {jax.__version__}",
+        f"backend: {jax.default_backend()}",
+        f"devices: {jax.devices()}",
+        f"process: {jax.process_index()}/{jax.process_count()}",
+    ]
+    return "\n".join(lines)
+
+
+def import_file(module_name: str, file_path: str):
+    """Exec a python file as a module (imports.py — used for user catalogs)."""
+    spec = importlib.util.spec_from_file_location(module_name, file_path)
+    module = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(module)
+    return module
+
+
+MODEL_DIR = os.environ.get("MEGA_TPU_MODEL_DIR", "models")
+
+# catalog:// name → expected local file under MODEL_DIR (the reference's
+# ModelCatalog resolves these to S3 URLs, config/paths_catalog.py:234-292;
+# zero-egress here, so users pre-download)
+MODEL_CATALOG = {
+    "ImageNetPretrained/MSRA/R-50": "R-50.pkl",
+    "ImageNetPretrained/MSRA/R-101": "R-101.pkl",
+    "ImageNetPretrained/MSRA/R-152": "R-152.pkl",
+}
+
+
+def resolve_weight(uri: str) -> str:
+    """catalog://X → local path; http(s) unsupported offline; else passthrough."""
+    if uri.startswith("catalog://"):
+        name = uri[len("catalog://"):]
+        if name not in MODEL_CATALOG:
+            raise KeyError(f"unknown catalog entry {name}")
+        return os.path.join(MODEL_DIR, MODEL_CATALOG[name])
+    if uri.startswith("http"):
+        raise RuntimeError(
+            f"zero-egress environment cannot fetch {uri}; place the file under "
+            f"{MODEL_DIR}/ and point MODEL.WEIGHT at it"
+        )
+    return uri
+
+
+def init_distributed() -> None:
+    """Multi-host initialization (utils/dist_env.py analog): jax.distributed
+    reads the cluster env (Cloud TPU metadata / coordinator vars) directly —
+    no NCCL/MPI rendezvous plumbing."""
+    import jax
+
+    if jax.process_count() > 1 or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
