@@ -21,6 +21,16 @@ from flax import linen as nn
 
 from ..layers import FrozenBatchNorm2d
 
+
+def make_norm(kind: str, features: int, dtype, name: str):
+    """Norm factory: FrozenBN (default) or GroupNorm-32 — the reference's
+    *WithFixedBatchNorm / *WithGN transformation variants (resnet.py:370-451,
+    make_layers.group_norm with NUM_GROUPS=32)."""
+    if kind == "gn":
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=dtype, name=name)
+    return FrozenBatchNorm2d(features, dtype=dtype, name=name)
+
+
 # stage block counts (resnet.py:44-80)
 STAGE_SPECS = {
     "R-50": (3, 4, 6, 3),
@@ -39,6 +49,7 @@ class Bottleneck(nn.Module):
     stride_in_1x1: bool = True
     dilation: int = 1
     num_groups: int = 1
+    norm: str = "frozen_bn"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -59,8 +70,8 @@ class Bottleneck(nn.Module):
                 dtype=self.dtype,
                 name="downsample_conv",
             )(x)
-            identity = FrozenBatchNorm2d(
-                self.out_channels, dtype=self.dtype, name="downsample_bn"
+            identity = make_norm(
+                self.norm, self.out_channels, self.dtype, "downsample_bn"
             )(identity)
 
         out = nn.Conv(
@@ -71,7 +82,7 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )(x)
-        out = FrozenBatchNorm2d(self.bottleneck_channels, dtype=self.dtype, name="bn1")(out)
+        out = make_norm(self.norm, self.bottleneck_channels, self.dtype, "bn1")(out)
         out = nn.relu(out)
 
         out = nn.Conv(
@@ -85,13 +96,13 @@ class Bottleneck(nn.Module):
             dtype=self.dtype,
             name="conv2",
         )(out)
-        out = FrozenBatchNorm2d(self.bottleneck_channels, dtype=self.dtype, name="bn2")(out)
+        out = make_norm(self.norm, self.bottleneck_channels, self.dtype, "bn2")(out)
         out = nn.relu(out)
 
         out = nn.Conv(
             self.out_channels, (1, 1), use_bias=False, dtype=self.dtype, name="conv3"
         )(out)
-        out = FrozenBatchNorm2d(self.out_channels, dtype=self.dtype, name="bn3")(out)
+        out = make_norm(self.norm, self.out_channels, self.dtype, "bn3")(out)
 
         return nn.relu(out + identity)
 
@@ -100,6 +111,7 @@ class Stem(nn.Module):
     """7x7/2 conv + frozen BN + 3x3/2 maxpool (resnet.py:367-387)."""
 
     out_channels: int = 64
+    norm: str = "frozen_bn"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -113,7 +125,7 @@ class Stem(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )(x)
-        x = FrozenBatchNorm2d(self.out_channels, dtype=self.dtype, name="bn1")(x)
+        x = make_norm(self.norm, self.out_channels, self.dtype, "bn1")(x)
         x = nn.relu(x)
         return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
@@ -129,6 +141,7 @@ class ResNetStage(nn.Module):
     stride_in_1x1: bool = True
     dilation: int = 1
     num_groups: int = 1
+    norm: str = "frozen_bn"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -144,6 +157,7 @@ class ResNetStage(nn.Module):
                 stride_in_1x1=self.stride_in_1x1,
                 dilation=self.dilation,
                 num_groups=self.num_groups,
+                norm=self.norm,
                 dtype=self.dtype,
                 name=str(i),
             )(x)
@@ -167,12 +181,15 @@ class ResNetC4(nn.Module):
     width_per_group: int = 64
     res2_out_channels: int = 256
     stem_out_channels: int = 64
+    norm: str = "frozen_bn"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         blocks = STAGE_SPECS[self.depth][:3]  # stages 1..3 for C4
-        x = Stem(self.stem_out_channels, dtype=self.dtype, name="stem")(x)
+        x = Stem(
+            self.stem_out_channels, norm=self.norm, dtype=self.dtype, name="stem"
+        )(x)
         if self.freeze_at >= 1:
             x = jax.lax.stop_gradient(x)
         in_ch = self.stem_out_channels
@@ -188,6 +205,7 @@ class ResNetC4(nn.Module):
                 first_stride=1 if stage_idx == 1 else 2,
                 stride_in_1x1=self.stride_in_1x1,
                 num_groups=self.num_groups,
+                norm=self.norm,
                 dtype=self.dtype,
                 name=f"layer{stage_idx}",
             )(x)
@@ -212,6 +230,7 @@ class ResNetRes5Head(nn.Module):
     num_groups: int = 1
     width_per_group: int = 64
     res2_out_channels: int = 256
+    norm: str = "frozen_bn"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -231,6 +250,7 @@ class ResNetRes5Head(nn.Module):
             stride_in_1x1=self.stride_in_1x1,
             dilation=self.dilation,
             num_groups=self.num_groups,
+            norm=self.norm,
             dtype=self.dtype,
             name="layer4",
         )(x)
@@ -239,8 +259,10 @@ class ResNetRes5Head(nn.Module):
 def build_resnet_c4(cfg) -> ResNetC4:
     body = cfg.MODEL.BACKBONE.CONV_BODY  # e.g. "R-50-C4"
     depth = "-".join(body.split("-")[:2])
+    norm = "gn" if cfg.MODEL.RESNETS.TRANS_FUNC.endswith("WithGN") else "frozen_bn"
     return ResNetC4(
         depth=depth,
+        norm=norm,
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
         stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
         num_groups=cfg.MODEL.RESNETS.NUM_GROUPS,
@@ -254,8 +276,10 @@ def build_resnet_c4(cfg) -> ResNetC4:
 def build_res5_head(cfg, stride_init: int = 1) -> ResNetRes5Head:
     body = cfg.MODEL.BACKBONE.CONV_BODY
     depth = "-".join(body.split("-")[:2])
+    norm = "gn" if cfg.MODEL.RESNETS.TRANS_FUNC.endswith("WithGN") else "frozen_bn"
     return ResNetRes5Head(
         depth=depth,
+        norm=norm,
         stride_init=stride_init,
         dilation=cfg.MODEL.RESNETS.RES5_DILATION,
         stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,

@@ -49,6 +49,7 @@ class GeneralizedRCNNDFF(nn.Module):
             depth=self.c.depth,
             freeze_at=self.c.freeze_at,
             stride_in_1x1=self.c.stride_in_1x1,
+            norm=self.c.norm,
             dtype=dtype,
             name="backbone",
         )
@@ -70,6 +71,7 @@ class GeneralizedRCNNDFF(nn.Module):
             mlp_dim=self.c.mlp_dim,
             dilation=self.c.res5_dilation,
             stride_in_1x1=self.c.stride_in_1x1,
+            norm=self.c.norm,
             dtype=dtype,
             name="extractor",
         )

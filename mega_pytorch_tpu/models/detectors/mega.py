@@ -69,6 +69,7 @@ class GeneralizedRCNNMEGA(nn.Module):
             depth=self.c.depth,
             freeze_at=self.c.freeze_at,
             stride_in_1x1=self.c.stride_in_1x1,
+            norm=self.c.norm,
             dtype=dtype,
             name="backbone",
         )
@@ -87,6 +88,7 @@ class GeneralizedRCNNMEGA(nn.Module):
             mlp_dim=self.c.mlp_dim,
             dilation=self.c.res5_dilation,
             stride_in_1x1=self.c.stride_in_1x1,
+            norm=self.c.norm,
             stage=self.v.base_stage,
             base_num=self.c.ref_post_nms_top_n,
             advanced_num=int(self.c.ref_post_nms_top_n * self.v.ratio),

@@ -43,6 +43,7 @@ class RCNNConfig(NamedTuple):
     compute_dtype: str = "float32"
     freeze_at: int = 2
     stride_in_1x1: bool = True
+    norm: str = "frozen_bn"  # "gn" for the *WithGN TRANS_FUNC/STEM_FUNC variants
     # anchors / RPN
     anchor_sizes: tuple = (64, 128, 256, 512)
     aspect_ratios: tuple = (0.5, 1.0, 2.0)
@@ -88,6 +89,7 @@ class RCNNConfig(NamedTuple):
             compute_dtype=cfg.TPU.COMPUTE_DTYPE,
             freeze_at=cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT,
             stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+            norm="gn" if cfg.MODEL.RESNETS.TRANS_FUNC.endswith("WithGN") else "frozen_bn",
             anchor_sizes=tuple(cfg.MODEL.RPN.ANCHOR_SIZES),
             aspect_ratios=tuple(cfg.MODEL.RPN.ASPECT_RATIOS),
             anchor_stride=cfg.MODEL.RPN.ANCHOR_STRIDE[0],
@@ -138,6 +140,7 @@ class GeneralizedRCNN(nn.Module):
             depth=self.c.depth,
             freeze_at=self.c.freeze_at,
             stride_in_1x1=self.c.stride_in_1x1,
+            norm=self.c.norm,
             dtype=dtype,
             name="backbone",
         )
@@ -156,6 +159,7 @@ class GeneralizedRCNN(nn.Module):
             mlp_dim=self.c.mlp_dim,
             dilation=self.c.res5_dilation,
             stride_in_1x1=self.c.stride_in_1x1,
+            norm=self.c.norm,
             dtype=dtype,
             name="extractor",
         )

@@ -129,6 +129,7 @@ class GeneralizedRCNNRDN(nn.Module):
             depth=self.c.depth,
             freeze_at=self.c.freeze_at,
             stride_in_1x1=self.c.stride_in_1x1,
+            norm=self.c.norm,
             dtype=dtype,
             name="backbone",
         )
@@ -147,6 +148,7 @@ class GeneralizedRCNNRDN(nn.Module):
             mlp_dim=self.c.mlp_dim,
             dilation=self.c.res5_dilation,
             stride_in_1x1=self.c.stride_in_1x1,
+            norm=self.c.norm,
             base_stage=self.v.base_stage,
             advanced_stage=self.v.advanced_stage,
             base_num=self.c.ref_post_nms_top_n,

@@ -29,6 +29,7 @@ class ResNetConv52MLPFeatureExtractor(nn.Module):
     mlp_dim: int = 1024
     dilation: int = 2
     stride_in_1x1: bool = True
+    norm: str = "frozen_bn"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -41,6 +42,7 @@ class ResNetConv52MLPFeatureExtractor(nn.Module):
             stride_init=1,
             dilation=self.dilation,
             stride_in_1x1=self.stride_in_1x1,
+            norm=self.norm,
             dtype=self.dtype,
             name="head",
         )
@@ -87,6 +89,7 @@ class ResNet50Conv5ROIFeatureExtractor(nn.Module):
     sampling_ratio: int = 0
     dilation: int = 1
     stride_in_1x1: bool = True
+    norm: str = "frozen_bn"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -112,6 +115,7 @@ class ResNet50Conv5ROIFeatureExtractor(nn.Module):
             stride_init=2,
             dilation=self.dilation,
             stride_in_1x1=self.stride_in_1x1,
+            norm=self.norm,
             dtype=self.dtype,
             name="head",
         )(x.astype(self.dtype))

@@ -58,6 +58,7 @@ class MEGAFeatureExtractor(nn.Module):
     mlp_dim: int = 1024
     dilation: int = 2
     stride_in_1x1: bool = True
+    norm: str = "frozen_bn"
     stage: int = 3
     base_num: int = 75
     advanced_num: int = 15
@@ -77,6 +78,7 @@ class MEGAFeatureExtractor(nn.Module):
             stride_init=1,
             dilation=self.dilation,
             stride_in_1x1=self.stride_in_1x1,
+            norm=self.norm,
             dtype=self.dtype,
             name="head",
         )

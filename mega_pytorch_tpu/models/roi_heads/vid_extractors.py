@@ -31,6 +31,7 @@ class RDNFeatureExtractor(nn.Module):
     mlp_dim: int = 1024
     dilation: int = 2
     stride_in_1x1: bool = True
+    norm: str = "frozen_bn"
     base_stage: int = 2
     advanced_stage: int = 0
     base_num: int = 75  # REF_POST_NMS_TOP_N
@@ -49,6 +50,7 @@ class RDNFeatureExtractor(nn.Module):
             stride_init=1,
             dilation=self.dilation,
             stride_in_1x1=self.stride_in_1x1,
+            norm=self.norm,
             dtype=self.dtype,
             name="head",
         )

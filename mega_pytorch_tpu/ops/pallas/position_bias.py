@@ -8,11 +8,16 @@ branch of attention_module_multi_head). Materializing the (N, M, 64)
 embedding costs ~650 MB of HBM traffic per MEGA stage-0 call (N=675,
 M=3750) — the measured hot spot of the streaming pipeline.
 
-This kernel computes geometry → sinusoids → Wg matmul → relu → log entirely
-in VMEM per (TN, TM) tile and writes only the (groups, N, M) bias. The
-sinusoid block is reshaped to (TN*TM, 64) and hits the MXU via one dot.
+This kernel computes geometry → sinusoids → Wg contraction → relu → log
+entirely in VMEM per (TN, TM) tile and writes only the (TN, TM, groups) bias
+tile (Mosaic rejects the lane/sublane-mixing reshape a single flat MXU dot
+would need, so the contraction runs per (channel, freq) via einsum).
 
-A pure-XLA fallback with identical semantics handles CPU tests.
+The pure-XLA twin (`reference_position_bias`) has identical semantics and is
+what the attention module currently uses everywhere — on this jax version
+XLA fuses the sinusoid contraction well enough that the Pallas path has no
+measured advantage; the kernel is kept (with parity tests) as the starting
+point for a fully fused attention kernel.
 """
 
 from __future__ import annotations

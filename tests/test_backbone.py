@@ -208,3 +208,17 @@ def test_embednet_shapes():
     params = net.init(jax.random.PRNGKey(0), x)["params"]
     out = net.apply({"params": params}, x)
     assert out.shape == (1, 8, 10, 2048)
+
+
+def test_gn_variant_builds_and_trains_norm_params():
+    """BottleneckWithGN / StemWithGN parity: GroupNorm-32 replaces FrozenBN."""
+    from mega_pytorch_tpu.models.backbone.resnet import ResNetC4
+
+    model = ResNetC4(depth="R-50", norm="gn", freeze_at=0)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    # GroupNorm params: scale/bias (no running stats)
+    bn1 = params["stem"]["bn1"]
+    assert set(bn1.keys()) == {"scale", "bias"}
+    out = model.apply({"params": params}, x)
+    assert out.shape == (1, 4, 4, 1024)

@@ -255,3 +255,43 @@ def test_flownet_ckpt_ingestion(tmp_path):
         merged["flownet"]["deconv5"]["kernel"],
         sd["deconv5.weight"].numpy().transpose(2, 3, 1, 0),
     )
+
+
+def test_combined_roi_heads_mask_branch():
+    from mega_pytorch_tpu.models.roi_heads.combined import (
+        CombinedROIHeads,
+        mask_targets_from_dense,
+    )
+    from mega_pytorch_tpu.models.roi_heads.subsample import SampledRois
+
+    # dense GT mask: instance covering a known square
+    gt_masks = jnp.zeros((1, 2, 64, 96)).at[0, 0, 10:30, 20:50].set(1.0)
+    rois = SampledRois(
+        boxes=jnp.array([[[20.0, 10.0, 49.0, 29.0], [0.0, 32.0, 20.0, 60.0]]]),
+        valid=jnp.array([[True, True]]),
+        labels=jnp.array([[3, 0]]),
+        reg_targets=jnp.zeros((1, 2, 4)),
+    )
+    matched = jnp.array([[0, 1]])
+
+    # target for roi 0 (exactly the instance box) is nearly all ones
+    t = mask_targets_from_dense(gt_masks[0], matched[0], rois.boxes[0], 28)
+    assert t.shape == (2, 28, 28)
+    assert float(t[0].mean()) > 0.9
+    assert float(t[1].mean()) < 0.1  # background region
+
+    heads = CombinedROIHeads(mask_on=True, num_classes=5, spatial_scale=1 / 16.0)
+    feat = jnp.asarray(np.random.RandomState(0).randn(1, 4, 6, 32), jnp.float32)
+    params = heads.init(
+        jax.random.PRNGKey(0), feat, rois, gt_masks, matched,
+        method=heads.mask_losses,
+    )["params"]
+    losses = heads.apply(
+        {"params": params}, feat, rois, gt_masks, matched, method=heads.mask_losses
+    )
+    assert np.isfinite(float(losses["loss_mask"])) and float(losses["loss_mask"]) > 0
+
+    probs = heads.apply(
+        {"params": params}, feat, rois.boxes, rois.labels, method=heads.mask_probs
+    )
+    assert probs.shape == (1, 2, 28, 28)
