@@ -45,9 +45,12 @@ def assemble_inputs(method: str, sample: dict):
     raise ValueError(method)
 
 
-def make_train_step(model, optimizer, num_samples: int = 1):
-    """Jitted step over a stacked batch of `num_samples` samples (leading axis
-    vmapped; shard it over the mesh data axis for multi-chip)."""
+def make_train_step(model, optimizer, num_samples: int = 1, mesh=None):
+    """Jitted step over a stacked batch of `num_samples` samples.
+
+    With a mesh, the sample axis is sharded over the mesh `data` axis and
+    params/opt-state are replicated — the reference's 1-image-per-GPU DDP
+    becomes samples-per-device pjit with an implicit ICI grad all-reduce."""
 
     def sample_loss(params, inputs, gt, rng):
         losses = model.apply({"params": params}, inputs, gt, rng, train=True)
@@ -71,7 +74,19 @@ def make_train_step(model, optimizer, num_samples: int = 1):
         params = jax.tree_util.tree_map(lambda p, u: (p + u).astype(p.dtype), params, updates)
         return params, opt_state, losses
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, shard, shard, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
 
 
 def do_train(
@@ -86,6 +101,8 @@ def do_train(
     start_iter: int = 0,
     rng: jax.Array | None = None,
     log_period: int = 20,
+    mesh=None,
+    validation_hook=None,
 ):
     """Run the iteration loop. `batches` yields lists of preprocessed samples
     (len == per-host batch size)."""
@@ -109,7 +126,14 @@ def do_train(
         )
         inputs, gt = stacked
         if step_fn is None:
-            step_fn = make_train_step(model, optimizer, num_samples=len(samples))
+            step_fn = make_train_step(
+                model, optimizer, num_samples=len(samples), mesh=mesh
+            )
+            if mesh is not None:
+                from ..parallel.mesh import replicate
+
+                params = replicate(mesh, params)
+                opt_state = replicate(mesh, opt_state)
 
         rng, sub = jax.random.split(rng)
         params, opt_state, losses = step_fn(params, opt_state, inputs, gt, sub)
@@ -131,6 +155,14 @@ def do_train(
             )
         if iteration % ckpt_period == 0:
             checkpointer.save(f"model_{iteration:07d}", params, opt_state, iteration)
+        # periodic validation (engine/trainer.py:140-180 TEST_PERIOD analog)
+        if (
+            validation_hook is not None
+            and cfg.SOLVER.TEST_PERIOD > 0
+            and iteration % cfg.SOLVER.TEST_PERIOD == 0
+        ):
+            logger.info(f"running validation at iter {iteration}")
+            validation_hook(params, iteration)
         if iteration >= max_iter:
             break
 

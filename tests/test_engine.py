@@ -151,3 +151,49 @@ def test_streaming_inference_and_eval_mega(tiny_root):
 
     result = evaluate_predictions(ds, preds, logger=logger)
     assert "all" in result and np.isfinite(result["all"]["map"] + 0)  # nan allowed, finite check soft
+
+
+def test_do_train_sharded_over_mesh(tiny_root, tmp_path):
+    """Multi-chip path: 8-sample batches sharded over the 8-device CPU mesh,
+    plus a TEST_PERIOD validation hook firing."""
+    from mega_pytorch_tpu.parallel import make_mesh
+
+    cfg = get_preset("base_R_50")
+    cfg.SOLVER.MAX_ITER = 2
+    cfg.SOLVER.CHECKPOINT_PERIOD = 1000
+    cfg.SOLVER.TEST_PERIOD = 1
+    ds = _dataset(tiny_root, VIDDataset, is_train=True)
+    prep = TrainPreprocessor(**_prep_kwargs(), rng=np.random.RandomState(0))
+    model = GeneralizedRCNN(c=TINY_C)
+
+    from mega_pytorch_tpu.data.loader import train_batches
+    from mega_pytorch_tpu.data.samplers import training_indices
+    from mega_pytorch_tpu.engine.trainer import assemble_inputs, do_train
+
+    batches = train_batches(
+        ds, prep,
+        training_indices(len(ds), [0] * len(ds), 8, max_iter=2, seed=0),
+    )
+    first = prep(ds[0])
+    inputs, gt = assemble_inputs("base", first)
+    params = model.init(jax.random.PRNGKey(0), inputs, gt, jax.random.PRNGKey(1), train=True)["params"]
+    from mega_pytorch_tpu.solver import make_optimizer
+
+    optimizer = make_optimizer(cfg, params)
+    opt_state = optimizer.init(params)
+    from mega_pytorch_tpu.utils.checkpoint import Checkpointer
+    from mega_pytorch_tpu.utils.logger import setup_logger
+
+    logger = setup_logger("test_mesh_train", None)
+    ckpt = Checkpointer(str(tmp_path / "ckpt"), logger)
+    mesh = make_mesh(n_data=8)
+
+    val_calls = []
+    with mesh:
+        do_train(
+            cfg, model, batches, params, optimizer, opt_state, ckpt, logger,
+            log_period=1, mesh=mesh,
+            validation_hook=lambda p, it: val_calls.append(it),
+        )
+    assert val_calls == [1, 2]
+    assert ckpt.has_checkpoint()

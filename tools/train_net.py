@@ -123,6 +123,19 @@ def main():
             )
 
     batch_size = max(cfg.SOLVER.IMS_PER_BATCH, 1)
+    mesh = None
+    if len(jax.devices()) > 1:
+        import math
+
+        from mega_pytorch_tpu.parallel import make_mesh
+
+        # the sample axis shards over the data axis, so it must divide evenly
+        n_data = math.gcd(batch_size, len(jax.devices()))
+        if n_data > 1:
+            mesh = make_mesh(n_data=n_data)
+            logger.info(f"data-parallel mesh over {n_data} devices")
+        else:
+            logger.info("IMS_PER_BATCH=1: single-device step (no data mesh)")
     batches = train_batches(
         dataset, prep,
         training_indices(
@@ -132,7 +145,7 @@ def main():
     )
     do_train(
         cfg, model, batches, params, optimizer, opt_state, checkpointer, logger,
-        start_iter=start_iter,
+        start_iter=start_iter, mesh=mesh,
     )
 
 
