@@ -197,3 +197,73 @@ def test_do_train_sharded_over_mesh(tiny_root, tmp_path):
         )
     assert val_calls == [1, 2]
     assert ckpt.has_checkpoint()
+
+
+def test_mega_training_improves_ap(tiny_root, tmp_path):
+    """End-to-end system check: MEGA trained on the synthetic moving-box
+    videos must beat its untrained self on AP50 (full train -> streaming
+    eval -> motion-IoU evaluator loop)."""
+    import optax
+
+    from mega_pytorch_tpu.engine.trainer import assemble_inputs
+    from mega_pytorch_tpu.utils.model_ingest import init_inference_params
+
+    v = VidConfig(
+        method="mega", base_stage=3, all_frame_interval=3, key_frame_location=1,
+        memory_size=2, global_size=2, global_res_stage=1,
+        ref_num_local=1, ref_num_mem=1, ref_num_global=1,
+    )
+    model = GeneralizedRCNNMEGA(c=TINY_C, v=v)
+
+    train_ds = _dataset(
+        tiny_root, VIDMEGADataset, is_train=True,
+        max_offset=1, all_frame_interval=3,
+        ref_num_local=1, ref_num_mem=1, ref_num_global=1,
+        rng=np.random.RandomState(0),
+    )
+    prep = TrainPreprocessor(**_prep_kwargs(), rng=np.random.RandomState(0))
+    eval_ds = _dataset(
+        tiny_root, VIDMEGADataset, is_train=False,
+        max_offset=1, all_frame_interval=3, global_size=2, global_seed=0,
+    )
+    eval_prep = EvalPreprocessor(**_prep_kwargs())
+    logger = setup_logger("test_e2e", None)
+
+    params = init_inference_params(model, "mega", eval_prep, eval_ds, logger)
+
+    def run_eval(p):
+        preds = compute_on_dataset(
+            model, p, eval_ds, list(range(len(eval_ds))), eval_prep, "mega",
+        )
+        return evaluate_predictions(eval_ds, preds)["all"]["map"]
+
+    ap_before = run_eval(params)
+
+    # bare SGD at this scale diverges from random init; clip + adam is the
+    # stable tiny-scale recipe (the real solver uses warmup for the same reason)
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(1e-3))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, s, inputs, gt, rng):
+        def loss_fn(pp):
+            d = model.apply({"params": pp}, inputs, gt, rng, train=True)
+            return sum(d.values())
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, loss
+
+    rng = jax.random.PRNGKey(0)
+    for i in range(40):
+        sample = prep(train_ds[i % len(train_ds)])
+        inputs, gt = assemble_inputs("mega", sample)
+        rng, k = jax.random.split(rng)
+        params, opt_state, loss = step(params, opt_state, inputs, gt, k)
+
+    ap_after = run_eval(params)
+    # untrained AP is ~0; 40 steps on the bright moving box must lift it
+    # (probe run: 0.0 -> ~0.43, correct class predicted)
+    assert ap_before < 0.05, ap_before
+    assert ap_after > 0.2, (ap_before, ap_after)
+    assert np.isfinite(float(loss))
