@@ -28,10 +28,17 @@ def im_detect_bbox_aug(
     canvas_short: int,
     canvas_long: int,
     hflip: bool = True,
+    scale_hflip: bool | None = None,
     nms_thresh: float = 0.5,
     detections_per_img: int = 300,
 ):
-    """Returns merged {boxes, scores, labels} in original-image coordinates."""
+    """Returns merged {boxes, scores, labels} in original-image coordinates.
+
+    ``scales[0]`` is the base test size (H_FLIP controls its flipped run);
+    the remaining scales are the TEST.BBOX_AUG.SCALES sweep, whose flipped
+    runs follow SCALE_H_FLIP (mega_core/engine/bbox_aug.py:24-66 runs the
+    base size first, then each extra scale, each optionally flipped).
+    ``scale_hflip=None`` applies ``hflip`` to every scale."""
     w0, h0 = pil_image.size
     all_boxes, all_scores, all_labels = [], [], []
 
@@ -58,9 +65,9 @@ def im_detect_bbox_aug(
         all_scores.append(np.asarray(dets.scores[0])[valid])
         all_labels.append(np.asarray(dets.labels[0])[valid])
 
-    for s in scales:
+    for i, s in enumerate(scales):
         run(int(s), False)
-        if hflip:
+        if hflip if (i == 0 or scale_hflip is None) else scale_hflip:
             run(int(s), True)
 
     boxes = np.concatenate(all_boxes, axis=0) if all_boxes else np.zeros((0, 4), np.float32)

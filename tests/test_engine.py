@@ -267,3 +267,41 @@ def test_mega_training_improves_ap(tiny_root, tmp_path):
     assert ap_before < 0.05, ap_before
     assert ap_after > 0.2, (ap_before, ap_after)
     assert np.isfinite(float(loss))
+
+
+def test_im_detect_bbox_aug(tiny_root):
+    """Multi-scale + flip TTA: correct run schedule (H_FLIP on the base scale
+    only when SCALE_H_FLIP=False), merged output in original-image coords."""
+    from mega_pytorch_tpu.engine.bbox_aug import im_detect_bbox_aug
+    from mega_pytorch_tpu.engine.trainer import assemble_inputs
+
+    model = GeneralizedRCNN(c=TINY_C)
+    ds = _dataset(tiny_root, VIDDataset, is_train=False)
+    prep = EvalPreprocessor(**_prep_kwargs())
+    sample = prep(ds[0])
+    inputs, gt = assemble_inputs("base", sample)
+    params = model.init(
+        jax.random.PRNGKey(0), inputs, gt, jax.random.PRNGKey(1), train=True
+    )["params"]
+
+    class Counting:
+        calls = 0
+
+        def apply(self, *a, **k):
+            Counting.calls += 1
+            return model.apply(*a, **k)
+
+    pil = ds.load_image(0)
+    out = im_detect_bbox_aug(
+        Counting(), params, pil,
+        scales=(48, 56), max_size=80, canvas_short=48, canvas_long=64,
+        hflip=True, scale_hflip=False, detections_per_img=10,
+    )
+    # base scale plain + base flip + extra scale plain (no SCALE_H_FLIP)
+    assert Counting.calls == 3
+    assert out["boxes"].shape[1] == 4 and len(out["boxes"]) <= 10
+    assert len(out["boxes"]) == len(out["scores"]) == len(out["labels"])
+    w0, h0 = pil.size
+    if len(out["boxes"]):
+        assert out["boxes"][:, [0, 2]].max() <= w0 + 1
+        assert out["boxes"][:, [1, 3]].max() <= h0 + 1

@@ -84,7 +84,29 @@ def main():
     indices = video_shards(starts, len(dataset), args.num_shards)[args.shard]
     logger.info(f"shard {args.shard}/{args.num_shards}: {len(indices)} frames")
 
-    preds = compute_on_dataset(model, params, dataset, indices, prep, method, logger)
+    if cfg.TEST.BBOX_AUG.ENABLED:
+        # multi-scale + flip TTA (image methods only, like the reference's
+        # bbox-aug path in tools/test_net.py via engine/bbox_aug.py)
+        assert method == "base", "BBOX_AUG is single-frame only"
+        from mega_pytorch_tpu.engine.bbox_aug import im_detect_bbox_aug
+
+        preds = {}
+        for n, i in enumerate(indices):
+            preds[i] = im_detect_bbox_aug(
+                model, params, dataset.load_image(i),
+                scales=(cfg.INPUT.MIN_SIZE_TEST,) + tuple(cfg.TEST.BBOX_AUG.SCALES),
+                max_size=cfg.TEST.BBOX_AUG.MAX_SIZE,
+                canvas_short=cfg.TPU.CANVAS_HEIGHT,
+                canvas_long=cfg.TPU.CANVAS_WIDTH,
+                hflip=cfg.TEST.BBOX_AUG.H_FLIP,
+                scale_hflip=cfg.TEST.BBOX_AUG.SCALE_H_FLIP,
+                nms_thresh=cfg.MODEL.ROI_HEADS.NMS,
+                detections_per_img=cfg.TEST.DETECTIONS_PER_IMG,
+            )
+            if logger and n % 100 == 0:
+                logger.info(f"bbox-aug {n}/{len(indices)}")
+    else:
+        preds = compute_on_dataset(model, params, dataset, indices, prep, method, logger)
 
     os.makedirs(args.output_dir, exist_ok=True)
     np.savez_compressed(
