@@ -157,22 +157,29 @@ class RelationAttention(nn.Module):
             # (an empty attention contributes nothing to the residual)
             soft = jnp.where(ref_valid.any(), soft, 0.0)
 
-        out = jnp.einsum(
-            "gnm,mf->ngf",
-            soft.astype(dt),
-            ref_feat.astype(dt),
-            preferred_element_type=jnp.float32,
-        )  # (N, g, D)
         wv = self.param(
             "Wv_kernel",
             nn.initializers.normal(0.01),
             (g, self.feat_dim, d),
         )
         bv = self.param("Wv_bias", nn.initializers.zeros, (self.feat_dim,))
-        mixed = jnp.einsum(
-            "ngf,gfd->ngd",
-            out.astype(dt),
+        # The reference computes out[n,g,:] = Σ_m soft·ref_feat (full 1024-d
+        # values) and THEN the grouped 1x1 Wv mix (attention_module_multi_head's
+        # output_t → linear_out_1 conv). Reassociating the two linear ops —
+        # project each ref to its per-group d-dim value first, then attend —
+        # is mathematically identical and cuts the AV FLOPs by feat_dim/d
+        # (16x fewer MACs in the N×M contraction; 6.5x overall at MEGA
+        # stage-0 shapes), keeping the MXU matmuls large either way.
+        v = jnp.einsum(
+            "mf,gfd->mgd",
+            ref_feat.astype(dt),
             wv.astype(dt),
+            preferred_element_type=jnp.float32,
+        )  # (M, g, D)
+        mixed = jnp.einsum(
+            "gnm,mgd->ngd",
+            soft.astype(dt),
+            v.astype(dt),
             preferred_element_type=jnp.float32,
         ).reshape(-1, self.feat_dim)
         return mixed + bv
