@@ -239,9 +239,12 @@ def test_mega_training_improves_ap(tiny_root, tmp_path):
 
     ap_before = run_eval(params)
 
-    # bare SGD at this scale diverges from random init; clip + adam is the
-    # stable tiny-scale recipe (the real solver uses warmup for the same reason)
-    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(1e-3))
+    # bare SGD at this scale diverges from random init, and a flat LR leaves
+    # the 40-100 step window chaotic (sampling/NMS discretization amplifies
+    # tiny numeric perturbations into different trajectories); tight clipping
+    # + cosine-decayed adam makes the endpoint stable across such noise
+    sched = optax.cosine_decay_schedule(1e-3, 100, alpha=0.1)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = tx.init(params)
 
     @jax.jit
@@ -255,15 +258,15 @@ def test_mega_training_improves_ap(tiny_root, tmp_path):
         return optax.apply_updates(p, u), s, loss
 
     rng = jax.random.PRNGKey(0)
-    for i in range(40):
+    for i in range(100):
         sample = prep(train_ds[i % len(train_ds)])
         inputs, gt = assemble_inputs("mega", sample)
         rng, k = jax.random.split(rng)
         params, opt_state, loss = step(params, opt_state, inputs, gt, k)
 
     ap_after = run_eval(params)
-    # untrained AP is ~0; 40 steps on the bright moving box must lift it
-    # (probe run: 0.0 -> ~0.43, correct class predicted)
+    # untrained AP is ~0; 100 decayed steps on the bright moving box must
+    # lift it well clear of noise (probe run: 0.0 -> ~0.74)
     assert ap_before < 0.05, ap_before
     assert ap_after > 0.2, (ap_before, ap_after)
     assert np.isfinite(float(loss))
