@@ -28,6 +28,13 @@ def make_mesh(
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
         n_data = len(devices) // n_model
+    if len(devices) < n_data * n_model:
+        raise ValueError(
+            f"mesh wants {n_data}x{n_model} devices but the backend exposes "
+            f"{len(devices)} ({jax.default_backend()}); on a single-chip host "
+            "run under XLA_FLAGS=--xla_force_host_platform_device_count=N with "
+            "the cpu platform (see tests/conftest.py / __graft_entry__.py)"
+        )
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, axis_names=("data", "model"))
 

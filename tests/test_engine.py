@@ -199,6 +199,68 @@ def test_do_train_sharded_over_mesh(tiny_root, tmp_path):
     assert ckpt.has_checkpoint()
 
 
+def test_mega_train_step_sharded_over_mesh():
+    """Video-method multi-chip training (the reference's real workload:
+    1 img/GPU over DDP, configs/BASE_RCNN_8gpu.yaml): two MEGA train steps
+    with the sample axis sharded over the 8-device mesh. Checks finite
+    losses and that params stay bit-identical across devices."""
+    import numpy as np
+
+    from mega_pytorch_tpu.engine.trainer import make_train_step
+    from mega_pytorch_tpu.models.detectors.rcnn import pad_gt
+    from mega_pytorch_tpu.parallel import make_mesh, replicate
+    from mega_pytorch_tpu.solver import make_optimizer
+    from mega_pytorch_tpu.structures.image_list import ImageBatch
+
+    n = 8
+    v = VidConfig(
+        method="mega", base_stage=2, all_frame_interval=3, key_frame_location=1,
+        memory_size=2, global_size=2, global_res_stage=1,
+        ref_num_local=1, ref_num_mem=1, ref_num_global=1,
+    )
+    model = GeneralizedRCNNMEGA(c=TINY_C, v=v)
+    rs = np.random.RandomState(0)
+
+    def images(frames):
+        return ImageBatch(
+            tensors=rs.randn(n, frames, 48, 64, 3).astype(np.float32),
+            sizes=np.tile(np.array([[48.0, 64.0]], np.float32), (n, frames, 1)),
+        )
+
+    inputs = {"local": images(2), "memory": images(1), "global": images(1)}
+    one_gt = pad_gt(np.array([[8.0, 8.0, 40.0, 40.0]]), np.array([3]), 4)
+    gt = jax.tree_util.tree_map(
+        lambda x: np.tile(x[None, None], (n, 1) + (1,) * x.ndim), one_gt
+    )
+
+    one = jax.tree_util.tree_map(lambda x: x[0], (inputs, gt))
+    params = model.init(
+        jax.random.PRNGKey(0), one[0], one[1], jax.random.PRNGKey(1), train=True
+    )["params"]
+    optimizer = make_optimizer(get_preset("base_R_50"), params)
+    opt_state = optimizer.init(params)
+
+    mesh = make_mesh(n_data=n)
+    with mesh:
+        step = make_train_step(model, optimizer, num_samples=n, mesh=mesh)
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        rng = jax.random.PRNGKey(2)
+        for _ in range(2):
+            rng, sub = jax.random.split(rng)
+            params, opt_state, losses = step(params, opt_state, inputs, gt, sub)
+        losses = {k: float(v) for k, v in losses.items()}
+    assert all(np.isfinite(x) for x in losses.values()), losses
+    assert losses["loss_classifier"] > 0
+
+    # replicated-param consistency: every device holds the same bytes
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    assert len(shards) == n
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
 def test_mega_training_improves_ap(tiny_root, tmp_path):
     """End-to-end system check: MEGA trained on the synthetic moving-box
     videos must beat its untrained self on AP50 (full train -> streaming
