@@ -206,5 +206,13 @@ def eval_detection_vid(
     for name, rng in zip(names, ranges):
         prec, rec = calc_prec_rec(gt_list, pred_list, motion_ious, iou_thresh, rng)
         ap = calc_ap(prec, rec, use_07_metric)
-        out[name] = {"ap": ap, "map": float(np.nanmean(ap))}
+        # Classes with zero GT in this motion bucket are NaN by construction;
+        # average only the scored classes. A bucket where no class is scored
+        # (every object ignored) yields an explicit NaN map rather than the
+        # "Mean of empty slice" RuntimeWarning of nanmean.
+        scored = np.isfinite(ap)
+        out[name] = {
+            "ap": ap,
+            "map": float(ap[scored].mean()) if scored.any() else float("nan"),
+        }
     return out

@@ -11,7 +11,9 @@ otherwise bounds throughput.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 import threading
 
@@ -22,18 +24,27 @@ _LOCK = threading.Lock()
 
 
 def _build_lib() -> str:
+    # Cache key = source content hash + host identity: a binary built with
+    # -march=native on another machine (or from older sources) is never reused,
+    # so a stale/foreign .so can't SIGILL at decode time.
     src_dir = os.path.join(os.path.dirname(__file__), "..", "csrc")
     src = os.path.join(src_dir, "loader.cpp")
     build_dir = os.path.join(src_dir, "build")
     os.makedirs(build_dir, exist_ok=True)
-    lib_path = os.path.join(build_dir, "libmegaloader.so")
-    if os.path.exists(lib_path) and os.path.getmtime(lib_path) >= os.path.getmtime(src):
+    with open(src, "rb") as f:
+        key = hashlib.sha256(
+            f.read() + f"|{platform.machine()}|{platform.processor()}".encode()
+        ).hexdigest()[:16]
+    lib_path = os.path.join(build_dir, f"libmegaloader-{key}.so")
+    if os.path.exists(lib_path):
         return lib_path
+    tmp_path = lib_path + f".tmp{os.getpid()}"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        src, "-o", lib_path, "-ljpeg", "-lpthread",
+        src, "-o", tmp_path, "-ljpeg", "-lpthread",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp_path, lib_path)
     return lib_path
 
 
