@@ -31,8 +31,11 @@ def make_norm(kind: str, features: int, dtype, name: str):
     return FrozenBatchNorm2d(features, dtype=dtype, name=name)
 
 
-# stage block counts (resnet.py:44-80)
+# stage block counts (resnet.py:44-80); R-14 is a one-block-per-stage testing
+# spec (same channel plan and code path, minimal graph) for fast compiles in
+# the test suite and the driver's multi-chip dryrun.
 STAGE_SPECS = {
+    "R-14": (1, 1, 1, 1),
     "R-50": (3, 4, 6, 3),
     "R-101": (3, 4, 23, 3),
     "R-152": (3, 8, 36, 3),
@@ -174,7 +177,7 @@ class ResNetC4(nn.Module):
     (resnet.py:134-143); the solver additionally masks those params.
     """
 
-    depth: str = "R-50"  # "R-50" | "R-101" | "R-152"
+    depth: str = "R-50"  # "R-14" (testing) | "R-50" | "R-101" | "R-152"
     freeze_at: int = 2
     stride_in_1x1: bool = True
     num_groups: int = 1

@@ -18,7 +18,7 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser(description="TPU video detection eval")
     parser.add_argument("--preset", default="mega_R_101")
-    parser.add_argument("--config-file", default=None)
+    parser.add_argument("--config-file", action="append", default=None)
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--data-dir", default="datasets")
     parser.add_argument("--output-dir", default="output")
@@ -41,8 +41,8 @@ def main():
     from mega_pytorch_tpu.utils.logger import setup_logger
 
     cfg = get_preset(args.preset)
-    if args.config_file:
-        cfg.merge_from_file(args.config_file)
+    for path in args.config_file or ():
+        cfg.merge_from_file(path)
     opts = args.opts[1:] if args.opts and args.opts[0] == "opts" else args.opts
     if opts:
         cfg.merge_from_list(opts)

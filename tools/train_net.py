@@ -2,10 +2,12 @@
 
 Usage:
   python tools/train_net.py --preset mega_R_101 [--data-dir datasets]
-      [--config-file path.yaml] [opts KEY VALUE ...]
+      [--config-file path.yaml ...] [opts KEY VALUE ...]
 
 Presets replace the reference's {BASE_RCNN_N gpu + method yaml} stacking;
---config-file still accepts reference-style yamls on top.
+--config-file (repeatable, merged in order) also accepts reference-style
+yaml stacks, e.g.
+  --config-file configs/BASE_RCNN_1gpu.yaml --config-file configs/MEGA/vid_R_101_C4_MEGA_1x.yaml
 """
 
 import argparse
@@ -22,7 +24,7 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser(description="TPU video detection training")
     parser.add_argument("--preset", default="base_R_50")
-    parser.add_argument("--config-file", default=None)
+    parser.add_argument("--config-file", action="append", default=None)
     parser.add_argument("--data-dir", default="datasets")
     parser.add_argument("--output-dir", default="output")
     parser.add_argument("--resume", action="store_true")
@@ -40,8 +42,8 @@ def main():
     from mega_pytorch_tpu.utils.logger import setup_logger
 
     cfg = get_preset(args.preset)
-    if args.config_file:
-        cfg.merge_from_file(args.config_file)
+    for path in args.config_file or ():
+        cfg.merge_from_file(path)
     opts = args.opts[1:] if args.opts and args.opts[0] == "opts" else args.opts
     if opts:
         cfg.merge_from_list(opts)
