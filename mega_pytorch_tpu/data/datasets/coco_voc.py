@@ -47,12 +47,13 @@ class COCODataset:
 
         anns_by_img: dict = {}
         for a in coco.get("annotations", []):
-            if a.get("iscrowd", 0):
-                continue
             anns_by_img.setdefault(a["image_id"], []).append(a)
 
+        def has_usable(i):
+            return any(not a.get("iscrowd", 0) for a in anns_by_img.get(i, []))
+
         if remove_images_without_annotations if is_train is None else is_train:
-            ids = [i for i in self.images if anns_by_img.get(i)]
+            ids = [i for i in self.images if has_usable(i)]
         else:
             ids = list(self.images)
         self.ids = sorted(ids)
@@ -65,26 +66,35 @@ class COCODataset:
         im = self.images[self.ids[idx]]
         return {"height": im["height"], "width": im["width"]}
 
-    def get_groundtruth(self, idx: int) -> dict:
+    def get_groundtruth(self, idx: int, include_crowd: bool = True) -> dict:
+        """Full GT (crowds kept + flagged + COCO areas) for the evaluator;
+        training targets use include_crowd=False (coco.py drops iscrowd)."""
         img_id = self.ids[idx]
         im = self.images[img_id]
-        boxes, labels = [], []
+        boxes, labels, iscrowd, areas = [], [], [], []
         for a in self.anns_by_img.get(img_id, []):
             x, y, w, h = a["bbox"]  # COCO xywh
             if w <= 0 or h <= 0:
                 continue
+            crowd = bool(a.get("iscrowd", 0))
+            if crowd and not include_crowd:
+                continue
             boxes.append([x, y, x + w - 1, y + h - 1])
             labels.append(self.json_category_id_to_contiguous_id[a["category_id"]])
+            iscrowd.append(crowd)
+            areas.append(float(a.get("area", w * h)))
         return {
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
             "labels": np.asarray(labels, np.int64),
+            "iscrowd": np.asarray(iscrowd, bool),
+            "areas": np.asarray(areas, np.float64),
             "im_info": (im["height"], im["width"]),
         }
 
     def __getitem__(self, idx: int) -> dict:
         im = self.images[self.ids[idx]]
         img = Image.open(os.path.join(self.root, im["file_name"])).convert("RGB")
-        return {"cur": img, "gt": self.get_groundtruth(idx), "idx": idx}
+        return {"cur": img, "gt": self.get_groundtruth(idx, include_crowd=False), "idx": idx}
 
 
 class PascalVOCDataset:

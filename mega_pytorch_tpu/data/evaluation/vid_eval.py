@@ -191,6 +191,46 @@ def calc_ap(prec, rec, use_07_metric: bool = False) -> np.ndarray:
     return ap
 
 
+def eval_proposals_vid(
+    gt_list: list[dict],
+    pred_list: list[dict],
+    iou_thresh: float = 0.5,
+    limit: int = 300,
+) -> dict:
+    """Class-agnostic proposal recall (the reference's --box_only path,
+    evaluation/vid/vid_eval.py:73-110): per image, greedily assign each GT its
+    best remaining proposal (highest-IoU pair first), then recall = fraction
+    of GT covered at >= iou_thresh. Proposals are score-sorted and capped at
+    `limit`. pred dicts carry "objectness" (RPN-only output) or "scores"."""
+    assert len(gt_list) == len(pred_list)
+    gt_overlaps = []
+    num_pos = 0
+    for gt, pred in zip(gt_list, pred_list):
+        gb = np.asarray(gt["boxes"], np.float64).reshape(-1, 4)
+        pb = np.asarray(pred["boxes"], np.float64).reshape(-1, 4)
+        scores = np.asarray(
+            pred.get("objectness", pred.get("scores", np.zeros(len(pb))))
+        ).reshape(-1)
+        order = np.argsort(-scores, kind="stable")[:limit]
+        pb = pb[order]
+        num_pos += len(gb)
+        if len(gb) == 0 or len(pb) == 0:
+            continue
+        iou = _np_iou(pb, gb)  # (P, G)
+        covered = np.zeros(len(gb))
+        for j in range(min(len(pb), len(gb))):
+            per_gt = iou.max(axis=0)  # best proposal per GT
+            gi = int(per_gt.argmax())  # GT with the best remaining cover
+            pi = int(iou[:, gi].argmax())
+            covered[j] = iou[pi, gi]
+            iou[pi, :] = -1
+            iou[:, gi] = -1
+        gt_overlaps.append(covered)
+    flat = np.concatenate(gt_overlaps) if gt_overlaps else np.zeros(0)
+    recall = float((flat >= iou_thresh).sum() / max(num_pos, 1))
+    return {"recall": recall, "gt_overlaps": np.sort(flat)}
+
+
 def eval_detection_vid(
     gt_list: list[dict],
     pred_list: list[dict],

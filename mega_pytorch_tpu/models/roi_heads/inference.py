@@ -59,7 +59,9 @@ def _postprocess_one(
     flat_scores = jnp.where(keep_valid.reshape(-1), kept_scores.reshape(-1), -1.0)
     flat_labels = labels.reshape(-1)
 
-    top_scores, top_idx = jax.lax.top_k(flat_scores, detections_per_img)
+    # a DETECTIONS_PER_IMG above the candidate pool means "no cap"
+    k = min(detections_per_img, flat_scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)
     return (
         flat_boxes[top_idx],
         jnp.maximum(top_scores, 0.0),

@@ -163,6 +163,33 @@ def _build_ext():
     )
 
 
+def make_ref_vid_cfg(depth: int = 50, pre_nms: int = 500, post_nms: int = 50,
+                     detections: int = 2000):
+    """Reference cfg for the VID single-frame recipe (BASE_RCNN_1gpu.yaml
+    semantics) on CPU, with shrunken proposal counts for test speed. The
+    counterpart RCNNConfig must use the same numbers."""
+    load_reference()
+    from mega_core.config import cfg as global_cfg
+
+    cfg = global_cfg.clone()
+    cfg.MODEL.DEVICE = "cpu"
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNN"
+    cfg.MODEL.BACKBONE.CONV_BODY = f"R-{depth}-C4"
+    cfg.MODEL.RPN.ANCHOR_SIZES = (64, 128, 256, 512)
+    cfg.MODEL.RPN.PRE_NMS_TOP_N_TEST = pre_nms
+    cfg.MODEL.RPN.POST_NMS_TOP_N_TEST = post_nms
+    cfg.MODEL.ROI_HEADS.SCORE_THRESH = 0.001
+    cfg.MODEL.ROI_HEADS.NMS = 0.5
+    cfg.MODEL.ROI_HEADS.DETECTIONS_PER_IMG = detections
+    cfg.MODEL.ROI_BOX_HEAD.NUM_CLASSES = 31
+    cfg.MODEL.ROI_BOX_HEAD.POOLER_RESOLUTION = 7
+    cfg.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR = "ResNetConv52MLPFeatureExtractor"
+    cfg.MODEL.ROI_BOX_HEAD.PREDICTOR = "FPNPredictor"
+    cfg.MODEL.RESNETS.RES5_DILATION = 2
+    cfg.MODEL.VID.ROI_BOX_HEAD.REDUCE_CHANNEL = depth == 50
+    return cfg
+
+
 def load_reference():
     """Import and return the live mega_core package (cached)."""
     global _loaded
