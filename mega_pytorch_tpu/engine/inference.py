@@ -21,7 +21,6 @@ import jax
 import numpy as np
 
 from ..structures.image_list import ImageBatch
-from ..data.evaluation.vid_eval import eval_detection_vid, load_motion_ious
 from ..utils.logger import Timer
 
 
@@ -171,15 +170,21 @@ def compute_on_dataset(
 
 
 def evaluate_predictions(
-    dataset, predictions: dict, motion_iou_path: str | None = None, logger=None
+    dataset,
+    predictions: dict,
+    motion_iou_path: str | None = None,
+    logger=None,
+    box_only: bool = False,
 ) -> dict:
-    """do_vid_evaluation (vid_eval.py:14-69): AP50 (+motion buckets)."""
-    ids = sorted(predictions.keys())
-    gt_list = [dataset.get_groundtruth(i) for i in ids]
-    pred_list = [predictions[i] for i in ids]
-    motion_ious = load_motion_ious(motion_iou_path) if motion_iou_path else None
-    result = eval_detection_vid(gt_list, pred_list, motion_ious=motion_ious)
-    if logger:
-        for name, r in result.items():
-            logger.info(f"AP50 | motion={name:>6s} = {r['map']:.4f}")
-    return result
+    """do_vid_evaluation (vid_eval.py:14-69) + dataset-family dispatch: VID
+    AP50 (+motion buckets), COCO/Cityscapes COCO-protocol AP, VOC 07 mAP,
+    or class-agnostic proposal recall (box_only)."""
+    from ..data.evaluation import evaluate
+
+    return evaluate(
+        dataset,
+        predictions,
+        box_only=box_only,
+        motion_iou_path=motion_iou_path,
+        logger=logger,
+    )

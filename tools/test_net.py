@@ -23,6 +23,10 @@ def main():
     parser.add_argument("--data-dir", default="datasets")
     parser.add_argument("--output-dir", default="output")
     parser.add_argument("--motion-iou-file", default=None)
+    parser.add_argument(
+        "--box-only", action="store_true",
+        help="score class-agnostic proposal recall instead of AP",
+    )
     parser.add_argument("--shard", type=int, default=0)
     parser.add_argument("--num-shards", type=int, default=1)
     parser.add_argument("opts", nargs=argparse.REMAINDER, default=[])
@@ -117,7 +121,9 @@ def main():
         ),
     )
     if args.num_shards == 1:
-        result = evaluate_predictions(dataset, preds, args.motion_iou_file, logger)
+        result = evaluate_predictions(
+            dataset, preds, args.motion_iou_file, logger, box_only=args.box_only
+        )
         with open(os.path.join(args.output_dir, "result.txt"), "w") as f:
             for mname, r in result.items():
                 f.write(f"AP50 | motion={mname:>6s} = {r['map']:.4f}\n")
