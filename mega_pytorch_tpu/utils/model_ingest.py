@@ -114,6 +114,9 @@ def convert_entry(path: list[str], tensor, groups: int = 16):
     if leaf == "num_batches_tracked":
         return []
     # attention leaves
+    if leaf == "u":
+        # ParameterList us.N: torch (groups, 1, embed) → ours (groups, embed)
+        return [(tuple(path[:-1]) + ("u",), w.reshape(w.shape[0], -1))]
     if mod == "u":
         return [(tuple(path[:-1]) + ("u",), w.reshape(w.shape[0], -1))]
     if mod == "Wv":

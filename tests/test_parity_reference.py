@@ -165,3 +165,240 @@ def test_base_model_parity_single_frame():
     assert matched >= 0.98 * n_ref, (matched, n_ref, n_ours)
     assert abs(n_ours - n_ref) <= max(2, 0.02 * n_ref), (n_ref, n_ours)
     assert box_err < 0.5, box_err  # pixels, on matched pairs
+
+
+# -- MEGA streaming parity ------------------------------------------------------
+
+# tiny MEGA protocol shared by both stacks
+T_WIN, K_LOC, G_SIZE, REF_POST, STAGES, RATIO = 4, 2, 3, 10, 2, 0.2
+MEGA_PRE, MEGA_POST = 300, 30
+SEG_LEN = 6
+H_M, W_M = 96, 128
+PIXEL_MEAN = np.array([102.9801, 115.9465, 122.7717], np.float32)  # BGR
+
+
+def _video_frames(seed=7):
+    """SEG_LEN structured uint8 RGB frames with temporal drift."""
+    rs = np.random.RandomState(seed)
+    base = rs.rand(H_M // 8, W_M // 8, 3) * 255
+    frames = []
+    for f in range(SEG_LEN):
+        drift = np.roll(base, f, axis=1) * (0.8 + 0.04 * f)
+        img = np.kron(drift, np.ones((8, 8, 1)))
+        img += rs.rand(H_M, W_M, 3) * 20
+        frames.append(np.clip(img, 0, 255).astype(np.uint8))
+    return frames
+
+
+def _norm_rgb(u8: np.ndarray) -> np.ndarray:
+    """RGB uint8 → normalized float32 HWC (BGR*1.0 - mean), both stacks."""
+    bgr = u8[:, :, ::-1].astype(np.float32)
+    return bgr - PIXEL_MEAN
+
+
+def _global_schedule(f: int):
+    """vid_mega.py:112-120 with SHUFFLE=False (identity index)."""
+    size = G_SIZE if f == 0 else 1
+    return [(f + G_SIZE - i - 1) % SEG_LEN for i in range(size)]
+
+
+def _ref_mega_model(seed=0):
+    load_reference()
+    from mega_core.modeling.detector import build_detection_model
+
+    torch.manual_seed(seed)
+    cfg = make_ref_vid_cfg(depth=50, pre_nms=MEGA_PRE, post_nms=MEGA_POST,
+                           detections=DETS)
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNNMEGA"
+    cfg.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR = "MEGAFeatureExtractor"
+    cfg.MODEL.VID.ENABLE = True
+    cfg.MODEL.VID.METHOD = "mega"
+    cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION.ENABLE = True
+    cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION.STAGE = STAGES
+    cfg.MODEL.VID.RPN.REF_PRE_NMS_TOP_N = MEGA_PRE
+    cfg.MODEL.VID.RPN.REF_POST_NMS_TOP_N = REF_POST
+    cfg.MODEL.VID.MEGA.ALL_FRAME_INTERVAL = T_WIN
+    cfg.MODEL.VID.MEGA.KEY_FRAME_LOCATION = K_LOC
+    cfg.MODEL.VID.MEGA.RATIO = RATIO
+    cfg.MODEL.VID.MEGA.MEMORY.ENABLE = True
+    cfg.MODEL.VID.MEGA.MEMORY.SIZE = T_WIN
+    cfg.MODEL.VID.MEGA.GLOBAL.ENABLE = True
+    cfg.MODEL.VID.MEGA.GLOBAL.SIZE = G_SIZE
+    cfg.MODEL.VID.MEGA.GLOBAL.RES_STAGE = 0
+    cfg.MODEL.VID.MEGA.GLOBAL.SHUFFLE = False
+    model = build_detection_model(cfg)
+    model.eval()
+    # random-weight attention features are large (~1e2); untempered the
+    # softmax saturates on background and every frame yields 0 detections.
+    # Both stacks ingest the tempered weights, so parity is unaffected.
+    with torch.no_grad():
+        model.roi_heads.box.predictor.cls_score.weight.mul_(0.001)
+        model.roi_heads.box.predictor.bbox_pred.weight.mul_(0.01)
+        # keep proposals near anchors: wild random deltas produce degenerate
+        # (negative-extent) boxes whose relation-position features are NaN
+        model.rpn.head.bbox_pred.weight.mul_(0.01)
+        model.rpn.head.bbox_pred.bias.mul_(0.01)
+        # keep objectness out of sigmoid saturation: at 1.0 every proposal
+        # ties and top-k order is arbitrary per backend
+        model.rpn.head.cls_logits.weight.mul_(0.001)
+        model.rpn.head.cls_logits.bias.mul_(0.001)
+    return model
+
+
+def _run_reference_mega(model, frames, tmp_path):
+    """Drive the reference streaming protocol; returns per-frame detections."""
+    from PIL import Image as PILImage
+
+    from mega_core.structures.image_list import to_image_list
+
+    for f, u8 in enumerate(frames):
+        PILImage.fromarray(u8).save(tmp_path / f"{f:06d}.png")
+
+    def tf(img, target=None):
+        arr = _norm_rgb(np.asarray(img.convert("RGB")))
+        return torch.from_numpy(np.ascontiguousarray(arr.transpose(2, 0, 1))), target
+
+    def il(f):
+        t = torch.from_numpy(
+            np.ascontiguousarray(_norm_rgb(frames[f]).transpose(2, 0, 1))
+        )
+        return to_image_list([t])
+
+    max_offset = T_WIN - K_LOC - 1
+    outs = []
+    with torch.no_grad():
+        for f in range(SEG_LEN):
+            images = {
+                "cur": il(f),
+                "ref_l": [il(min(SEG_LEN - 1, f + max_offset))],
+                "ref_g": [il(g) for g in _global_schedule(f)],
+                "frame_category": 0 if f == 0 else 1,
+                "seg_len": SEG_LEN,
+                "pattern": "%06d",
+                "img_dir": str(tmp_path) + "/%s.png",
+                "transforms": tf,
+            }
+            outs.append(model(images)[0])
+    return [
+        (o.bbox.numpy(), o.get_field("scores").numpy(), o.get_field("labels").numpy())
+        for o in outs
+    ]
+
+
+def _run_ours_mega(params, model, frames):
+    """Drive our explicit-carry streaming protocol on the same frames."""
+    from mega_pytorch_tpu.models.detectors.mega import GeneralizedRCNNMEGA
+    from mega_pytorch_tpu.structures.image_list import ImageBatch
+
+    M = GeneralizedRCNNMEGA
+    jit = lambda m: jax.jit(  # noqa: E731
+        lambda p, *a: model.apply({"params": p}, *a, method=m)
+    )
+    pre, initc = jit(M.precompute), jit(M.init_carry)
+    push, updg, detect = jit(M.push_carry), jit(M.update_global), jit(M.detect_key)
+
+    def ib(f):
+        return ImageBatch(
+            tensors=_norm_rgb(frames[f])[None],
+            sizes=np.array([[float(H_M), float(W_M)]], np.float32),
+        )
+
+    max_offset = T_WIN - K_LOC - 1
+    outs = []
+    carry = None
+    for f in range(SEG_LEN):
+        if f == 0:
+            entry = pre(params, ib(0))
+            carry = initc(params, entry, ib(0).sizes[0])
+            end_id = 0
+            for _ in range(T_WIN - K_LOC - 1):
+                end_id = min(end_id + 1, SEG_LEN - 1)
+                carry = push(params, carry, pre(params, ib(end_id)), ib(end_id).sizes[0])
+        else:
+            nxt = min(SEG_LEN - 1, f + max_offset)
+            carry = push(params, carry, pre(params, ib(nxt)), ib(nxt).sizes[0])
+        for g in _global_schedule(f):
+            carry = updg(params, carry, ib(g))
+        carry, dets = detect(params, carry)
+        v = np.asarray(dets.valid[0])
+        outs.append(
+            (
+                np.asarray(dets.boxes[0])[v],
+                np.asarray(dets.scores[0])[v],
+                np.asarray(dets.labels[0])[v],
+            )
+        )
+    return outs
+
+
+def test_mega_streaming_parity(tmp_path):
+    """Frame-by-frame MEGA streaming (incl. frame-0 warmup, LRM pushes and the
+    global cache) must produce matching detections in both stacks."""
+    from mega_pytorch_tpu.models.detectors.mega import GeneralizedRCNNMEGA
+    from mega_pytorch_tpu.models.detectors.rdn import VidConfig
+    from mega_pytorch_tpu.structures.image_list import ImageBatch
+
+    frames = _video_frames()
+    ref_model = _ref_mega_model(seed=0)
+    ref_outs = _run_reference_mega(ref_model, frames, tmp_path)
+
+    c = _our_cfg(
+        pre_nms_top_n_test=MEGA_PRE,
+        post_nms_top_n_test=MEGA_POST,
+        ref_pre_nms_top_n=MEGA_PRE,
+        ref_post_nms_top_n=REF_POST,
+    )
+    v = VidConfig(
+        method="mega",
+        base_stage=STAGES,
+        ratio=RATIO,
+        all_frame_interval=T_WIN,
+        key_frame_location=K_LOC,
+        memory_enable=True,
+        memory_size=T_WIN,
+        global_enable=True,
+        global_size=G_SIZE,
+        global_res_stage=0,
+    )
+    model = GeneralizedRCNNMEGA(c=c, v=v)
+
+    one = ImageBatch(
+        tensors=_norm_rgb(frames[0])[None],
+        sizes=np.array([[float(H_M), float(W_M)]], np.float32),
+    )
+    tmp = model.init(jax.random.PRNGKey(0), one, method=GeneralizedRCNNMEGA.precompute)[
+        "params"
+    ]
+    entry = model.apply({"params": tmp}, one, method=GeneralizedRCNNMEGA.precompute)
+    carry = model.apply(
+        {"params": tmp}, entry, one.sizes[0], method=GeneralizedRCNNMEGA.init_carry
+    )
+    init = model.init(
+        jax.random.PRNGKey(0), carry, one, method=GeneralizedRCNNMEGA.test_step
+    )["params"]
+
+    from mega_pytorch_tpu.utils.model_ingest import (
+        convert_reference_state_dict,
+        merge_params,
+    )
+
+    missing = []
+
+    class Collect:
+        def info(self, msg):
+            if "no checkpoint value" in msg:
+                missing.append(msg)
+
+    params = merge_params(
+        init, convert_reference_state_dict(ref_model.state_dict()), Collect()
+    )
+    assert not missing, missing
+
+    our_outs = _run_ours_mega(params, model, frames)
+
+    for f, (ref, ours) in enumerate(zip(ref_outs, our_outs)):
+        matched, n_ref, n_ours, box_err = match_detections(ref, ours)
+        assert n_ref > 10, (f, n_ref)
+        assert matched >= 0.97 * n_ref, (f, matched, n_ref, n_ours)
+        assert abs(n_ours - n_ref) <= max(2, 0.03 * n_ref), (f, n_ref, n_ours)
+        assert box_err < 1.0, (f, box_err)
