@@ -17,8 +17,11 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-# [t, c, n, s] stage tables — the reference's "default" arch
-# (fbnet_modeldef.py MODEL_ARCH["default"]); users add archs via add_archs.
+# [t, c, n, s] stage tables — the reference's full arch zoo
+# (fbnet_modeldef.py:12-218: default, xirb16d_dsmask, mobilenet_v2,
+# cham_v1a, cham_v2); users add archs via add_archs. "kernels" (optional)
+# gives the depthwise kernel size per block per stage (the reference's
+# ir_k3/ir_k5/ir_k7 block_op_type tables); absent → arch-wide "kernel".
 MODEL_ARCH = {
     "default": {
         "first": [32, 2],
@@ -35,6 +38,82 @@ MODEL_ARCH = {
         "rpn": [5],
         "bbox": [4],
         "mask": [6],
+        "kernel": 3,
+    },
+    "xirb16d_dsmask": {
+        "first": [16, 2],
+        "stages": [
+            [[1, 16, 1, 1]],
+            [[6, 32, 2, 2]],
+            [[6, 48, 3, 2]],
+            [[6, 96, 4, 2], [6, 128, 3, 1]],
+            [[4, 128, 1, 2], [6, 128, 2, 1], [6, 160, 1, 1]],
+            [[4, 128, 1, 2], [6, 128, 2, 1], [6, 128, 1, -2], [3, 64, 1, -2]],
+            [[6, 128, 3, 1]],
+        ],
+        "backbone": [0, 1, 2, 3],
+        "rpn": [6],
+        "bbox": [4],
+        "mask": [5],
+        "kernel": 3,
+    },
+    "mobilenet_v2": {
+        "first": [32, 2],
+        "stages": [
+            [[1, 16, 1, 1]],
+            [[6, 24, 2, 2]],
+            [[6, 32, 3, 2]],
+            [[6, 64, 4, 2], [6, 96, 3, 1]],
+            [[6, 160, 3, 1], [6, 320, 1, 1]],
+        ],
+        "backbone": [0, 1, 2, 3],
+        "bbox": [4],
+        "kernel": 3,
+    },
+    "cham_v1a": {
+        "first": [32, 2],
+        "stages": [
+            [[1, 24, 1, 1]],
+            [[4, 48, 2, 2]],
+            [[7, 64, 5, 2]],
+            [[12, 56, 7, 2], [8, 88, 5, 1]],
+            [[7, 152, 4, 2], [10, 104, 1, 1]],
+            [[8, 88, 3, 1]],
+        ],
+        "kernels": [
+            [3],
+            [7] * 2,
+            [3] * 5,
+            [5] * 7 + [3] * 5,
+            [3] * 5,
+            [3] * 3,
+        ],
+        "backbone": [0, 1, 2, 3],
+        "rpn": [5],
+        "bbox": [4],
+        "kernel": 3,
+    },
+    "cham_v2": {
+        "first": [32, 2],
+        "stages": [
+            [[1, 24, 1, 1]],
+            [[8, 32, 4, 2]],
+            [[5, 48, 6, 2]],
+            [[9, 56, 3, 2], [6, 56, 6, 1]],
+            [[2, 160, 6, 2], [6, 112, 1, 1]],
+            [[6, 56, 1, 1]],
+        ],
+        "kernels": [
+            [3],
+            [5] * 4,
+            [7] * 6,
+            [5] * 3 + [3] * 6,
+            [3] * 7,
+            [3],
+        ],
+        "backbone": [0, 1, 2, 3],
+        "rpn": [5],
+        "bbox": [4],
         "kernel": 3,
     },
 }
@@ -135,6 +214,8 @@ class FBNetTrunk(nn.Module):
 
         block_id = 0
         for stage_idx in spec[self.stage_group]:
+            stage_kernels = spec.get("kernels", [None] * len(spec["stages"]))[stage_idx]
+            k_pos = 0
             for t, c, n, s in spec["stages"][stage_idx]:
                 c = _scale_channels(c, self.width_scale, self.width_divisor)
                 for i in range(n):
@@ -143,12 +224,16 @@ class FBNetTrunk(nn.Module):
                         out_channels=c,
                         expansion=t,
                         stride=s if i == 0 else 1,
-                        kernel=kernel,
+                        kernel=(
+                            stage_kernels[k_pos] if stage_kernels is not None
+                            else kernel
+                        ),
                         dtype=self.dtype,
                         name=f"block_{block_id}",
                     )(x)
                     in_ch = c
                     block_id += 1
+                    k_pos += 1
         return x
 
 

@@ -27,8 +27,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.pallas.position_bias import fused_position_bias, reference_position_bias
+from ...ops.pallas.relation_attention import fused_relation_attention
 
 NEG_INF = -1e30
+
+# flash kernel pays off once the (g, N, M) logits tensor stops fitting the
+# fusion budget; below this M the plain einsum path is as fast and simpler
+FUSED_MIN_REFS = 512
 
 
 def extract_position_matrix(bbox: jnp.ndarray, ref_bbox: jnp.ndarray) -> jnp.ndarray:
@@ -111,24 +116,24 @@ class RelationAttention(nn.Module):
         g = self.groups
         d = self.feat_dim // g
         dt = self.dtype
+        m = ref_feat.shape[0]
 
         q = nn.Dense(self.feat_dim, dtype=dt, name="Wq")(roi_feat.astype(dt))
         k = nn.Dense(self.feat_dim, dtype=dt, name="Wk")(ref_feat.astype(dt))
         q = q.reshape(-1, g, d)
         k = k.reshape(-1, g, d)
 
-        aff = jnp.einsum(
-            "ngd,mgd->gnm", q, k, preferred_element_type=jnp.float32
-        )
         if self.use_u_bias:
             u = self.param(
                 "u", nn.initializers.normal(0.01), (g, self.embed_dim)
             )
-            aff = aff + jnp.einsum(
+            uk = jnp.einsum(
                 "gd,mgd->gm", u.astype(dt), k, preferred_element_type=jnp.float32
-            )[:, None, :]
-        aff = aff * (1.0 / math.sqrt(d))
+            )
+        else:
+            uk = None
 
+        log_bias = None
         if self.use_position:
             wg = self._wg()
             if pos_rois is not None:
@@ -147,15 +152,6 @@ class RelationAttention(nn.Module):
                     pos_emb.astype(jnp.float32) @ wg["kernel"] + wg["bias"], 0.0
                 )
                 log_bias = jnp.log(pw + 1e-6).transpose(2, 0, 1)
-            aff = log_bias + aff
-
-        if ref_valid is not None:
-            aff = jnp.where(ref_valid[None, None, :], aff, NEG_INF)
-        soft = jax.nn.softmax(aff, axis=2)  # (g, N, M)
-        if ref_valid is not None:
-            # with zero valid refs the softmax is uniform garbage — emit zeros
-            # (an empty attention contributes nothing to the residual)
-            soft = jnp.where(ref_valid.any(), soft, 0.0)
 
         wv = self.param(
             "Wv_kernel",
@@ -176,6 +172,40 @@ class RelationAttention(nn.Module):
             wv.astype(dt),
             preferred_element_type=jnp.float32,
         )  # (M, g, D)
+
+        if jax.default_backend() == "tpu" and m >= FUSED_MIN_REFS:
+            # flash path: the (g, N, M) logits live only in VMEM tiles
+            valid = (
+                ref_valid if ref_valid is not None
+                else jnp.ones((m,), bool)
+            )
+            out = fused_relation_attention(
+                q.transpose(1, 0, 2),
+                k.transpose(1, 0, 2),
+                v.transpose(1, 0, 2),
+                uk if uk is not None else jnp.zeros((g, m), jnp.float32),
+                log_bias,
+                valid,
+            )
+            return out.transpose(1, 0, 2).reshape(-1, self.feat_dim) + bv
+
+        aff = jnp.einsum(
+            "ngd,mgd->gnm", q, k, preferred_element_type=jnp.float32
+        )
+        if uk is not None:
+            aff = aff + uk[:, None, :]
+        aff = aff * (1.0 / math.sqrt(d))
+        if log_bias is not None:
+            aff = log_bias + aff
+
+        if ref_valid is not None:
+            aff = jnp.where(ref_valid[None, None, :], aff, NEG_INF)
+        soft = jax.nn.softmax(aff, axis=2)  # (g, N, M)
+        if ref_valid is not None:
+            # with zero valid refs the softmax is uniform garbage — emit zeros
+            # (an empty attention contributes nothing to the residual)
+            soft = jnp.where(ref_valid.any(), soft, 0.0)
+
         mixed = jnp.einsum(
             "gnm,mgd->ngd",
             soft.astype(dt),

@@ -1,0 +1,377 @@
+"""Flash-style fused relation attention (Pallas TPU kernel).
+
+The relation-attention hot path (roi_box_feature_extractors.py:567-646 in the
+reference; RelationAttention here) computes, per stage,
+
+    bias = log(relu(Wg · sinusoid(position_matrix(rois, ref_rois))) + 1e-6)
+    aff  = (QK^T + u·K^T) / sqrt(d) + bias                   # (g, N, M) f32
+    soft = softmax_m(mask(aff))
+    out  = soft · V                                          # V pre-projected
+
+At MEGA streaming shapes (N=300, M≈3750, g=16) the (g, N, M) logits AND bias
+tensors are ~72 MB each; round-1 measured the XLA pipeline spending ~2/3 of
+the frame on them (position bias alone: 3.0 ms per stage on the v5e chip,
+attention einsums another 1.0 ms). This kernel streams K/V tiles through VMEM
+with an online softmax (running max / running sum — the flash-attention
+recurrence) and computes the position bias PER TILE from the raw (N,4)/(M,4)
+boxes: geometry → sinusoids → Wg contraction → relu → log all in registers,
+so neither the logits nor the bias ever exist in HBM. Measured: 1.5 ms vs
+4.0 ms for the XLA bias+attention pair at stage-0 shapes (2.7x).
+
+The Wg contraction runs as an unrolled scalar-vector FMA loop over the 64
+(channel, sin|cos, freq) terms — Mosaic has no batched matmul for the
+(n, m, 64) x (64, g) shape, and at g=16 the VPU loop beats a degenerate
+K=8 MXU matmul by a wide margin.
+
+Numerics: QK/AV matmuls run on the MXU in bf16 inputs with f32 accumulation —
+identical to the XLA einsum path in attention.py, which sets
+preferred_element_type=f32 over bf16 operands. The softmax recurrence and the
+bias evaluation are f32.
+
+The backward pass recomputes through the plain einsum path (materializing the
+logits is fine at training shapes, which are ~10x smaller): see
+`fused_relation_attention`'s custom_vjp.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _geometry(r):
+    w = r[:, 2] - r[:, 0] + 1.0
+    h = r[:, 3] - r[:, 1] + 1.0
+    cx = 0.5 * (r[:, 0] + r[:, 2])
+    cy = 0.5 * (r[:, 1] + r[:, 3])
+    return jnp.maximum(w, 1e-3), jnp.maximum(h, 1e-3), cx, cy
+
+
+def _tile_log_bias(rois, refs, w4, wb, groups, num_freq):
+    """(TN, 4) x (TM, 4) boxes → (g, TN, TM) log position bias, in-register.
+
+    w4 is the Wg kernel SMEM ref, rows ordered (channel, sin|cos, freq) to
+    match the reference's concat layout; wb its (1, g) bias SMEM ref.
+    """
+    w, h, cx, cy = _geometry(rois)
+    w_r, h_r, cx_r, cy_r = _geometry(refs)
+    dx = jnp.log(jnp.abs((cx[:, None] - cx_r[None, :]) / w[:, None]) + 1e-3)
+    dy = jnp.log(jnp.abs((cy[:, None] - cy_r[None, :]) / h[:, None]) + 1e-3)
+    dw = jnp.log(w[:, None] / w_r[None, :])
+    dh = jnp.log(h[:, None] / h_r[None, :])
+    pos = (dx, dy, dw, dh)  # 4 x (TN, TM)
+
+    log1000 = float(np.log(1000.0))
+    # sin/cos slabs once per tile; w4/wb are SMEM scalars (Mosaic supports no
+    # lane→leading-dim reshape, so the Wg contraction is a scalar-FMA unroll
+    # over per-group accumulators — g and the 64 terms are both static)
+    sins, coss = [], []
+    for c in range(4):
+        for f in range(num_freq):
+            inv_dim = 100.0 * math.exp(-f * (1.0 / num_freq) * log1000)
+            ang = pos[c] * inv_dim  # (TN, TM)
+            sins.append(jnp.sin(ang))
+            coss.append(jnp.cos(ang))
+    per_group = []
+    for gi in range(groups):
+        acc = jnp.full_like(pos[0], wb[0, gi])
+        for c in range(4):
+            for f in range(num_freq):
+                t = c * num_freq + f
+                acc = acc + sins[t] * w4[c * 2 * num_freq + f, gi]
+                acc = acc + coss[t] * w4[c * 2 * num_freq + num_freq + f, gi]
+        per_group.append(acc)
+    pw = jnp.maximum(jnp.stack(per_group), 0.0)  # (g, TN, TM)
+    return jnp.log(pw + 1e-6)
+
+
+def _kernel(
+    *refs,
+    groups: int,
+    scale: float,
+    bias_mode: str,  # "compute" | "input" | "none"
+    num_freq: int,
+):
+    if bias_mode == "compute":
+        (q_ref, k_ref, v_ref, uk_ref, rois_ref, rref_ref, w4_ref, wb_ref,
+         valid_ref, out_ref, acc_ref, m_ref, l_ref) = refs
+    elif bias_mode == "input":
+        (q_ref, k_ref, v_ref, uk_ref, bias_ref, valid_ref,
+         out_ref, acc_ref, m_ref, l_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, uk_ref, valid_ref,
+         out_ref, acc_ref, m_ref, l_ref) = refs
+
+    # grid = (n_tiles, m_tiles): m fastest, so the flash recurrence runs to
+    # completion over M for each N tile before moving on
+    j = pl.program_id(1)
+    nm = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[:]
+    k = k_ref[:]
+    uk = uk_ref[:]
+    valid = valid_ref[0, :]  # (TM,)
+
+    def one_group(g):
+        return jax.lax.dot_general(
+            q[g], k[g],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TN, TM)
+
+    aff = jnp.stack([one_group(g) for g in range(groups)])
+    aff = (aff + uk[:, None, :]) * scale
+    if bias_mode == "compute":
+        aff = aff + _tile_log_bias(
+            rois_ref[:], rref_ref[:], w4_ref, wb_ref, groups, num_freq
+        )
+    elif bias_mode == "input":
+        aff = aff + bias_ref[:]
+    aff = jnp.where(valid[None, None, :] > 0.5, aff, NEG_INF)
+
+    tile_max = jnp.max(aff, axis=2)  # (g, TN)
+    prev_max = m_ref[:, :, 0]
+    new_max = jnp.maximum(prev_max, tile_max)
+    alpha = jnp.exp(prev_max - new_max)  # (g, TN)
+    p = jnp.exp(aff - new_max[:, :, None])  # (g, TN, TM)
+    # invalid slots: exp(NEG_INF - max) underflows to 0 unless the whole row
+    # is invalid so far (new_max == NEG_INF) — force those to exact 0
+    p = jnp.where(valid[None, None, :] > 0.5, p, 0.0)
+
+    l_new = l_ref[:, :, 0] * alpha + jnp.sum(p, axis=2)
+
+    pv = jnp.stack(
+        [
+            jax.lax.dot_general(
+                p[g].astype(jnp.bfloat16), v_ref[g],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for g in range(groups)
+        ]
+    )  # (g, TN, d)
+    acc_ref[:] = acc_ref[:] * alpha[:, :, None] + pv
+    m_ref[:] = jnp.broadcast_to(new_max[:, :, None], m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new[:, :, None], l_ref.shape)
+
+    @pl.when(j == nm - 1)
+    def _finish():
+        # rows with zero valid refs get 0 output (empty attention contributes
+        # nothing to the residual), matching attention.py's `soft = 0` branch
+        denom = l_ref[:, :, 0]
+        safe = jnp.where(denom > 0.0, denom, 1.0)
+        out_ref[:] = acc_ref[:] / safe[:, :, None] * (denom > 0.0)[:, :, None]
+
+
+def _pad_axis(x: jnp.ndarray, axis: int, mult: int, value=0.0) -> jnp.ndarray:
+    pad = (-x.shape[axis]) % mult
+    if not pad:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("embed_dim", "tile_n", "tile_m", "interpret")
+)
+def _fused_fwd(
+    q: jnp.ndarray,  # (g, N, d)
+    k: jnp.ndarray,  # (g, M, d)
+    v: jnp.ndarray,  # (g, M, d)
+    uk: jnp.ndarray,  # (g, M) f32
+    pos: tuple | jnp.ndarray | None,
+    valid: jnp.ndarray,  # (M,) bool
+    embed_dim: int = 64,
+    tile_n: int = 64,
+    tile_m: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """pos: (rois (N,4), ref_rois (M,4), wg_kernel (E,g), wg_bias (g,)) for
+    in-kernel bias; a precomputed (g, N, M) bias; or None."""
+    g, n, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    if isinstance(pos, tuple):
+        # in-kernel bias adds ~2 MB of sin/cos slabs per tile; halve the tile
+        tile_m = min(tile_m, 128)
+
+    q_p = _pad_axis(q.astype(jnp.bfloat16), 1, tile_n)
+    k_p = _pad_axis(k.astype(jnp.bfloat16), 1, tile_m)
+    v_p = _pad_axis(v.astype(jnp.bfloat16), 1, tile_m)
+    uk_p = _pad_axis(uk.astype(jnp.float32), 1, tile_m)
+    valid_p = _pad_axis(valid.astype(jnp.float32)[None, :], 1, tile_m)
+    np_, mp_ = q_p.shape[1], k_p.shape[1]
+
+    if isinstance(pos, tuple):
+        bias_mode = "compute"
+        rois, ref_rois, wg_kernel, wg_bias = pos
+        num_freq = embed_dim // 8
+        # pad box rows with unit boxes so the padded tiles' geometry is finite
+        rois_p = _pad_axis(rois.astype(jnp.float32), 0, tile_n, 1.0)
+        refs_p = _pad_axis(ref_rois.astype(jnp.float32), 0, tile_m, 1.0)
+        w4 = wg_kernel.astype(jnp.float32)  # (E, g), rows (c, sin|cos, f)
+        wb = wg_bias.astype(jnp.float32)[None, :]
+        extra_in = [rois_p, refs_p, w4, wb]
+        extra_specs = [
+            pl.BlockSpec((tile_n, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+    elif pos is not None:
+        bias_mode = "input"
+        num_freq = embed_dim // 8
+        bias_p = _pad_axis(
+            _pad_axis(pos.astype(jnp.float32), 1, tile_n), 2, tile_m
+        )
+        extra_in = [bias_p]
+        extra_specs = [
+            pl.BlockSpec(
+                (g, tile_n, tile_m), lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    else:
+        bias_mode = "none"
+        num_freq = embed_dim // 8
+        extra_in, extra_specs = [], []
+
+    grid = (np_ // tile_n, mp_ // tile_m)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, groups=g, scale=scale, bias_mode=bias_mode,
+            num_freq=num_freq,
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, np_, d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((g, tile_n, d), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, tile_m, d), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, tile_m, d), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, tile_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            *extra_specs,
+            pl.BlockSpec((1, tile_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (g, tile_n, d), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((g, tile_n, d), jnp.float32),
+            pltpu.VMEM((g, tile_n, 128), jnp.float32),
+            pltpu.VMEM((g, tile_n, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_p, k_p, v_p, uk_p, *extra_in, valid_p)
+    return out[:, :n, :]
+
+
+def reference_relation_attention(q, k, v, uk, bias, valid):
+    """Plain-XLA twin with identical semantics (and the training path)."""
+    g, n, d = q.shape
+    aff = jnp.einsum(
+        "gnd,gmd->gnm",
+        q.astype(jnp.bfloat16),
+        k.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    aff = (aff + uk[:, None, :]) * (1.0 / math.sqrt(d))
+    if bias is not None:
+        aff = aff + bias
+    aff = jnp.where(valid[None, None, :], aff, NEG_INF)
+    soft = jax.nn.softmax(aff, axis=2)
+    soft = jnp.where(valid.any(), soft, 0.0)
+    return jnp.einsum(
+        "gnm,gmd->gnd",
+        soft.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_relation_attention(q, k, v, uk, bias, valid, interpret=False):
+    """(g, N, d) attention output; logits never materialize in HBM.
+
+    bias: a precomputed (g, N, M) log bias, or None (global attention)."""
+    return _fused_fwd(q, k, v, uk, bias, valid, interpret=interpret)
+
+
+def _vjp_fwd(q, k, v, uk, bias, valid, interpret=False):
+    return _fused_fwd(q, k, v, uk, bias, valid, interpret=interpret), (
+        q, k, v, uk, bias, valid,
+    )
+
+
+def _vjp_bwd(interpret, res, g_out):
+    q, k, v, uk, bias, valid = res
+    # training shapes are ~10x smaller: recompute through the einsum path
+    has_bias = bias is not None
+
+    def f(q, k, v, uk, bias):
+        return reference_relation_attention(
+            q, k, v, uk, bias if has_bias else None, valid
+        )
+
+    _, vjp = jax.vjp(f, q, k, v, uk, bias if has_bias else jnp.zeros(()))
+    dq, dk, dv, duk, dbias = vjp(g_out)
+    return dq, dk, dv, duk, dbias if has_bias else None, None
+
+
+fused_relation_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# -- bias fused in-kernel (the production streaming path) ---------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_relation_attention_pos(
+    q, k, v, uk, rois, ref_rois_wg, valid, embed_dim=64, interpret=False
+):
+    """Fused attention with IN-KERNEL position bias.
+
+    ref_rois_wg = (ref_rois (M, 4), wg_kernel (E, g), wg_bias (g,)).
+    Neither the (g, N, M) logits nor the bias ever exist in HBM."""
+    ref_rois, wg_kernel, wg_bias = ref_rois_wg
+    return _fused_fwd(
+        q, k, v, uk, (rois, ref_rois, wg_kernel, wg_bias), valid,
+        embed_dim=embed_dim, interpret=interpret,
+    )
+
+
+def _pos_vjp_fwd(q, k, v, uk, rois, ref_rois_wg, valid, embed_dim=64,
+                 interpret=False):
+    out = fused_relation_attention_pos(
+        q, k, v, uk, rois, ref_rois_wg, valid, embed_dim, interpret
+    )
+    return out, (q, k, v, uk, rois, ref_rois_wg, valid)
+
+
+def _pos_vjp_bwd(embed_dim, interpret, res, g_out):
+    from .position_bias import reference_position_bias
+
+    q, k, v, uk, rois, ref_rois_wg, valid = res
+    ref_rois, wg_kernel, wg_bias = ref_rois_wg
+
+    def f(q, k, v, uk, rois, ref_rois, wg_kernel, wg_bias):
+        bias = reference_position_bias(rois, ref_rois, wg_kernel, wg_bias, embed_dim)
+        return reference_relation_attention(q, k, v, uk, bias, valid)
+
+    _, vjp = jax.vjp(f, q, k, v, uk, rois, ref_rois, wg_kernel, wg_bias)
+    dq, dk, dv, duk, drois, drefs, dwk, dwb = vjp(g_out)
+    return dq, dk, dv, duk, drois, (drefs, dwk, dwb), None
+
+
+fused_relation_attention_pos.defvjp(_pos_vjp_fwd, _pos_vjp_bwd)

@@ -295,3 +295,43 @@ def test_combined_roi_heads_mask_branch():
         {"params": params}, feat, rois.boxes, rois.labels, method=heads.mask_probs
     )
     assert probs.shape == (1, 2, 28, 28)
+
+
+def test_fbnet_arch_zoo_builds():
+    """Every reference arch (fbnet_modeldef.py:12-218) builds and produces
+    the expected trunk output channels, incl. cham's per-block kernels."""
+    import jax
+
+    from mega_pytorch_tpu.models.backbone.fbnet import MODEL_ARCH, FBNetTrunk
+
+    expected_out = {
+        "default": 96, "xirb16d_dsmask": 128, "mobilenet_v2": 96,
+        "cham_v1a": 88, "cham_v2": 56,
+    }
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    for arch, out_c in expected_out.items():
+        assert arch in MODEL_ARCH
+        trunk = FBNetTrunk(arch=arch)
+        assert trunk.out_channels == out_c, arch
+        shape = jax.eval_shape(
+            lambda m=trunk: m.init_with_output(jax.random.PRNGKey(0), x)[0]
+        )
+        # stride 16 trunk: 64/16 = 4
+        assert shape.shape == (1, 4, 4, out_c), (arch, shape.shape)
+
+
+def test_fbnet_rpn_head_groups():
+    import jax
+
+    from mega_pytorch_tpu.models.backbone.fbnet import FBNetTrunk
+
+    for arch, in_c, out_c in [
+        ("default", 96, 96), ("cham_v1a", 88, 88), ("xirb16d_dsmask", 128, 128)
+    ]:
+        head = FBNetTrunk(arch=arch, stage_group="rpn", in_channels=in_c)
+        assert head.out_channels == out_c
+        x = jnp.zeros((1, 8, 8, in_c), jnp.float32)
+        shape = jax.eval_shape(
+            lambda m=head: m.init_with_output(jax.random.PRNGKey(0), x)[0]
+        )
+        assert shape.shape == (1, 8, 8, out_c), arch
