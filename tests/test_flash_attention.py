@@ -1,0 +1,126 @@
+"""Flash relation-attention kernel parity (interpret mode, runs on CPU).
+
+The production streaming path dispatches to this kernel on TPU for large ref
+sets (attention.py FUSED_MIN_REFS); these tests pin its semantics to the
+plain-XLA twin that the small-shape / training paths use.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mega_pytorch_tpu.ops.pallas.position_bias import reference_position_bias
+from mega_pytorch_tpu.ops.pallas.relation_attention import (
+    _fused_fwd,
+    fused_relation_attention,
+    fused_relation_attention_pos,
+    reference_relation_attention,
+)
+
+G, N, M, D, E = 16, 37, 300, 64, 64
+
+
+@pytest.fixture(scope="module")
+def data():
+    rs = np.random.RandomState(0)
+    return dict(
+        q=jnp.asarray(rs.randn(G, N, D), jnp.float32),
+        k=jnp.asarray(rs.randn(G, M, D), jnp.float32),
+        v=jnp.asarray(rs.randn(G, M, D), jnp.float32),
+        uk=jnp.asarray(rs.randn(G, M) * 0.1, jnp.float32),
+        bias=jnp.asarray(rs.randn(G, N, M), jnp.float32),
+        rois=jnp.asarray(
+            np.abs(rs.randn(N, 4)) * 50 + np.array([0, 0, 60, 60]), jnp.float32
+        ),
+        refs=jnp.asarray(
+            np.abs(rs.randn(M, 4)) * 50 + np.array([0, 0, 60, 60]), jnp.float32
+        ),
+        wk=jnp.asarray(rs.randn(E, G) * 0.05, jnp.float32),
+        wb=jnp.asarray(rs.rand(G) * 0.1, jnp.float32),
+        valid=jnp.asarray(rs.rand(M) > 0.2),
+    )
+
+
+def test_flash_matches_einsum_with_bias(data):
+    ref = reference_relation_attention(
+        data["q"], data["k"], data["v"], data["uk"], data["bias"], data["valid"]
+    )
+    out = _fused_fwd(
+        data["q"], data["k"], data["v"], data["uk"], data["bias"],
+        data["valid"], interpret=True,
+    )
+    # bf16 matmul inputs bound the agreement (same quantization both paths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=6e-3)
+
+
+def test_flash_matches_einsum_no_bias(data):
+    ref = reference_relation_attention(
+        data["q"], data["k"], data["v"], data["uk"], None, data["valid"]
+    )
+    out = _fused_fwd(
+        data["q"], data["k"], data["v"], data["uk"], None,
+        data["valid"], interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=6e-3)
+
+
+def test_flash_in_kernel_bias_matches_xla_bias(data):
+    bias = reference_position_bias(
+        data["rois"], data["refs"], data["wk"], data["wb"], E
+    )
+    ref = reference_relation_attention(
+        data["q"], data["k"], data["v"], data["uk"], bias, data["valid"]
+    )
+    out = _fused_fwd(
+        data["q"], data["k"], data["v"], data["uk"],
+        (data["rois"], data["refs"], data["wk"], data["wb"]),
+        data["valid"], interpret=True,
+    )
+    # the XLA twin contracts bf16 sinusoids while the kernel is f32;
+    # log(relu(.)+1e-6) amplifies that quantization near the relu boundary
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2)
+
+
+def test_flash_all_invalid_emits_zeros(data):
+    out = _fused_fwd(
+        data["q"], data["k"], data["v"], data["uk"], data["bias"],
+        jnp.zeros((M,), bool), interpret=True,
+    )
+    assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_flash_vjp_recomputes_reference_grads(data):
+    def loss_fused(q, k, v):
+        return fused_relation_attention(
+            q, k, v, data["uk"], data["bias"], data["valid"], True
+        ).sum()
+
+    def loss_ref(q, k, v):
+        return reference_relation_attention(
+            q, k, v, data["uk"], data["bias"], data["valid"]
+        ).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(data["q"], data["k"], data["v"])
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(data["q"], data["k"], data["v"])
+    for a, b in zip(gf, gr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flash_pos_vjp_covers_wg(data):
+    def loss_fused(rois, wk, wb):
+        return fused_relation_attention_pos(
+            data["q"], data["k"], data["v"], data["uk"], rois,
+            (data["refs"], wk, wb), data["valid"], E, True,
+        ).sum()
+
+    def loss_ref(rois, wk, wb):
+        bias = reference_position_bias(rois, data["refs"], wk, wb, E)
+        return reference_relation_attention(
+            data["q"], data["k"], data["v"], data["uk"], bias, data["valid"]
+        ).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(data["rois"], data["wk"], data["wb"])
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(data["rois"], data["wk"], data["wb"])
+    for a, b in zip(gf, gr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
