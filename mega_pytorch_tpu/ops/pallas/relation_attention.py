@@ -8,25 +8,25 @@ reference; RelationAttention here) computes, per stage,
     soft = softmax_m(mask(aff))
     out  = soft · V                                          # V pre-projected
 
-At MEGA streaming shapes (N=300, M≈3750, g=16) the (g, N, M) logits AND bias
-tensors are ~72 MB each; round-1 measured the XLA pipeline spending ~2/3 of
-the frame on them (position bias alone: 3.0 ms per stage on the v5e chip,
-attention einsums another 1.0 ms). This kernel streams K/V tiles through VMEM
-with an online softmax (running max / running sum — the flash-attention
-recurrence) and computes the position bias PER TILE from the raw (N,4)/(M,4)
-boxes: geometry → sinusoids → Wg contraction → relu → log all in registers,
-so neither the logits nor the bias ever exist in HBM. Measured: 1.5 ms vs
-4.0 ms for the XLA bias+attention pair at stage-0 shapes (2.7x).
+At MEGA streaming shapes (N=300, M≈3750, g=16) the (g, N, M) logits tensor is
+~72 MB; materializing it and running the softmax over HBM dominates the XLA
+pipeline. This kernel streams K/V/bias tiles through VMEM with an online
+softmax (running max / running sum — the flash-attention recurrence), so the
+logits never exist in HBM. The position bias stays an XLA-computed input
+(XLA fuses its sinusoid contraction well; it is read once here instead of
+the logits' three round-trips). An in-kernel bias mode (geometry → sinusoids
+→ Wg → log per tile, "compute") also exists — measured slower on v5e (the Wg
+contraction degenerates to a scalar-FMA VPU loop), kept for experimentation.
 
-The Wg contraction runs as an unrolled scalar-vector FMA loop over the 64
-(channel, sin|cos, freq) terms — Mosaic has no batched matmul for the
-(n, m, 64) x (64, g) shape, and at g=16 the VPU loop beats a degenerate
-K=8 MXU matmul by a wide margin.
+Batching: the streaming engines vmap the whole per-frame step over video
+lanes, so the kernel supports an explicit leading lane dimension (grid =
+(lanes, n_tiles, m_tiles)) and registers a jax.custom_batching rule that
+routes a single level of vmap into it. (Nested vmap falls back is NOT
+supported — the engine never nests.)
 
 Numerics: QK/AV matmuls run on the MXU in bf16 inputs with f32 accumulation —
 identical to the XLA einsum path in attention.py, which sets
-preferred_element_type=f32 over bf16 operands. The softmax recurrence and the
-bias evaluation are f32.
+preferred_element_type=f32 over bf16 operands. The softmax recurrence is f32.
 
 The backward pass recomputes through the plain einsum path (materializing the
 logits is fine at training shapes, which are ~10x smaller): see
@@ -110,10 +110,10 @@ def _kernel(
         (q_ref, k_ref, v_ref, uk_ref, valid_ref,
          out_ref, acc_ref, m_ref, l_ref) = refs
 
-    # grid = (n_tiles, m_tiles): m fastest, so the flash recurrence runs to
-    # completion over M for each N tile before moving on
-    j = pl.program_id(1)
-    nm = pl.num_programs(1)
+    # grid = (lanes, n_tiles, m_tiles): m fastest, so the flash recurrence
+    # runs to completion over M for each (lane, N-tile)
+    j = pl.program_id(2)
+    nm = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
@@ -121,10 +121,10 @@ def _kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[:]
-    k = k_ref[:]
-    uk = uk_ref[:]
-    valid = valid_ref[0, :]  # (TM,)
+    q = q_ref[0]  # (g, TN, d)
+    k = k_ref[0]  # (g, TM, d)
+    uk = uk_ref[0]  # (g, TM)
+    valid = valid_ref[0, 0, :]  # (TM,)
 
     def one_group(g):
         return jax.lax.dot_general(
@@ -137,10 +137,10 @@ def _kernel(
     aff = (aff + uk[:, None, :]) * scale
     if bias_mode == "compute":
         aff = aff + _tile_log_bias(
-            rois_ref[:], rref_ref[:], w4_ref, wb_ref, groups, num_freq
+            rois_ref[0], rref_ref[0], w4_ref, wb_ref, groups, num_freq
         )
     elif bias_mode == "input":
-        aff = aff + bias_ref[:]
+        aff = aff + bias_ref[0]
     aff = jnp.where(valid[None, None, :] > 0.5, aff, NEG_INF)
 
     tile_max = jnp.max(aff, axis=2)  # (g, TN)
@@ -157,7 +157,7 @@ def _kernel(
     pv = jnp.stack(
         [
             jax.lax.dot_general(
-                p[g].astype(jnp.bfloat16), v_ref[g],
+                p[g].astype(jnp.bfloat16), v_ref[0, g],
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -174,7 +174,7 @@ def _kernel(
         # nothing to the residual), matching attention.py's `soft = 0` branch
         denom = l_ref[:, :, 0]
         safe = jnp.where(denom > 0.0, denom, 1.0)
-        out_ref[:] = acc_ref[:] / safe[:, :, None] * (denom > 0.0)[:, :, None]
+        out_ref[0] = acc_ref[:] / safe[:, :, None] * (denom > 0.0)[:, :, None]
 
 
 def _pad_axis(x: jnp.ndarray, axis: int, mult: int, value=0.0) -> jnp.ndarray:
@@ -189,85 +189,107 @@ def _pad_axis(x: jnp.ndarray, axis: int, mult: int, value=0.0) -> jnp.ndarray:
 @functools.partial(
     jax.jit, static_argnames=("embed_dim", "tile_n", "tile_m", "interpret")
 )
-def _fused_fwd(
-    q: jnp.ndarray,  # (g, N, d)
-    k: jnp.ndarray,  # (g, M, d)
-    v: jnp.ndarray,  # (g, M, d)
-    uk: jnp.ndarray,  # (g, M) f32
+def _fused_fwd_batched(
+    q: jnp.ndarray,  # (B, g, N, d)
+    k: jnp.ndarray,  # (B, g, M, d)
+    v: jnp.ndarray,  # (B, g, M, d)
+    uk: jnp.ndarray,  # (B, g, M) f32
     pos: tuple | jnp.ndarray | None,
-    valid: jnp.ndarray,  # (M,) bool
+    valid: jnp.ndarray,  # (B, M) bool
     embed_dim: int = 64,
     tile_n: int = 64,
     tile_m: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """pos: (rois (N,4), ref_rois (M,4), wg_kernel (E,g), wg_bias (g,)) for
-    in-kernel bias; a precomputed (g, N, M) bias; or None."""
-    g, n, d = q.shape
+    """Explicit-lane-batch flash attention; grid = (B, n_tiles, m_tiles).
+
+    pos: (rois (B, N, 4), ref_rois (B, M, 4), wg_kernel (E, g), wg_bias (g,))
+    for in-kernel bias; a precomputed (B, g, N, M) bias; or None."""
+    b, g, n, d = q.shape
     scale = 1.0 / math.sqrt(d)
     if isinstance(pos, tuple):
         # in-kernel bias adds ~2 MB of sin/cos slabs per tile; halve the tile
         tile_m = min(tile_m, 128)
 
-    q_p = _pad_axis(q.astype(jnp.bfloat16), 1, tile_n)
-    k_p = _pad_axis(k.astype(jnp.bfloat16), 1, tile_m)
-    v_p = _pad_axis(v.astype(jnp.bfloat16), 1, tile_m)
-    uk_p = _pad_axis(uk.astype(jnp.float32), 1, tile_m)
-    valid_p = _pad_axis(valid.astype(jnp.float32)[None, :], 1, tile_m)
-    np_, mp_ = q_p.shape[1], k_p.shape[1]
+    q_p = _pad_axis(q.astype(jnp.bfloat16), 2, tile_n)
+    k_p = _pad_axis(k.astype(jnp.bfloat16), 2, tile_m)
+    v_p = _pad_axis(v.astype(jnp.bfloat16), 2, tile_m)
+    uk_p = _pad_axis(uk.astype(jnp.float32), 2, tile_m)
+    valid_p = _pad_axis(valid.astype(jnp.float32)[:, None, :], 2, tile_m)
+    np_, mp_ = q_p.shape[2], k_p.shape[2]
+    num_freq = embed_dim // 8
 
     if isinstance(pos, tuple):
         bias_mode = "compute"
         rois, ref_rois, wg_kernel, wg_bias = pos
-        num_freq = embed_dim // 8
         # pad box rows with unit boxes so the padded tiles' geometry is finite
-        rois_p = _pad_axis(rois.astype(jnp.float32), 0, tile_n, 1.0)
-        refs_p = _pad_axis(ref_rois.astype(jnp.float32), 0, tile_m, 1.0)
+        rois_p = _pad_axis(rois.astype(jnp.float32), 1, tile_n, 1.0)
+        refs_p = _pad_axis(ref_rois.astype(jnp.float32), 1, tile_m, 1.0)
         w4 = wg_kernel.astype(jnp.float32)  # (E, g), rows (c, sin|cos, f)
         wb = wg_bias.astype(jnp.float32)[None, :]
         extra_in = [rois_p, refs_p, w4, wb]
         extra_specs = [
-            pl.BlockSpec((tile_n, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_n, 4), lambda b, i, j: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_m, 4), lambda b, i, j: (b, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
     elif pos is not None:
         bias_mode = "input"
-        num_freq = embed_dim // 8
         bias_p = _pad_axis(
-            _pad_axis(pos.astype(jnp.float32), 1, tile_n), 2, tile_m
+            _pad_axis(pos.astype(jnp.float32), 2, tile_n), 3, tile_m
         )
         extra_in = [bias_p]
         extra_specs = [
             pl.BlockSpec(
-                (g, tile_n, tile_m), lambda i, j: (0, i, j),
+                (1, g, tile_n, tile_m), lambda b, i, j: (b, 0, i, j),
                 memory_space=pltpu.VMEM,
             )
         ]
     else:
         bias_mode = "none"
-        num_freq = embed_dim // 8
         extra_in, extra_specs = [], []
 
-    grid = (np_ // tile_n, mp_ // tile_m)
+    grid = (b, np_ // tile_n, mp_ // tile_m)
     out = pl.pallas_call(
         functools.partial(
             _kernel, groups=g, scale=scale, bias_mode=bias_mode,
             num_freq=num_freq,
         ),
-        out_shape=jax.ShapeDtypeStruct((g, np_, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, g, np_, d), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((g, tile_n, d), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, tile_m, d), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, tile_m, d), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, tile_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, g, tile_n, d), lambda b, i, j: (b, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, g, tile_m, d), lambda b, i, j: (b, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, g, tile_m, d), lambda b, i, j: (b, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, g, tile_m), lambda b, i, j: (b, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
             *extra_specs,
-            pl.BlockSpec((1, tile_m), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, tile_m), lambda b, i, j: (b, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (g, tile_n, d), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+            (1, g, tile_n, d), lambda b, i, j: (b, 0, i, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((g, tile_n, d), jnp.float32),
@@ -276,7 +298,23 @@ def _fused_fwd(
         ],
         interpret=interpret,
     )(q_p, k_p, v_p, uk_p, *extra_in, valid_p)
-    return out[:, :n, :]
+    return out[:, :, :n, :]
+
+
+def _fused_fwd(q, k, v, uk, bias, valid, embed_dim=64, tile_n=64,
+               tile_m=256, interpret=False):
+    """Unbatched (g, N, d) entry point (adds/strips a lane dim of 1)."""
+    pos = bias
+    if isinstance(bias, tuple):
+        rois, refs, wk, wb = bias
+        pos = (rois[None], refs[None], wk, wb)
+    elif bias is not None:
+        pos = bias[None]
+    out = _fused_fwd_batched(
+        q[None], k[None], v[None], uk[None], pos, valid[None],
+        embed_dim=embed_dim, tile_n=tile_n, tile_m=tile_m, interpret=interpret,
+    )
+    return out[0]
 
 
 def reference_relation_attention(q, k, v, uk, bias, valid):
@@ -302,16 +340,47 @@ def reference_relation_attention(q, k, v, uk, bias, valid):
     )
 
 
+# -- vmap routing --------------------------------------------------------------
+# The streaming engines vmap the per-frame step over video lanes; route that
+# single level of vmap into the explicit-lane grid instead of relying on
+# pallas_call's generic batching (which rejects mid-array batch dims).
+
+@functools.lru_cache(maxsize=None)
+def _make_flash(interpret: bool = False):
+    @jax.custom_batching.custom_vmap
+    def flash(q, k, v, uk, bias, valid):
+        return _fused_fwd(q, k, v, uk, bias, valid, interpret=interpret)
+
+    @flash.def_vmap
+    def _rule(axis_size, in_batched, q, k, v, uk, bias, valid):
+        qb, kb, vb, ukb, biasb, validb = in_batched
+
+        def bc(x, batched):
+            if x is None or batched:
+                return x
+            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        out = _fused_fwd_batched(
+            bc(q, qb), bc(k, kb), bc(v, vb), bc(uk, ukb),
+            bc(bias, biasb) if bias is not None else None,
+            bc(valid, validb),
+            interpret=interpret,
+        )
+        return out, True
+
+    return flash
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def fused_relation_attention(q, k, v, uk, bias, valid, interpret=False):
     """(g, N, d) attention output; logits never materialize in HBM.
 
     bias: a precomputed (g, N, M) log bias, or None (global attention)."""
-    return _fused_fwd(q, k, v, uk, bias, valid, interpret=interpret)
+    return _make_flash(interpret)(q, k, v, uk, bias, valid)
 
 
 def _vjp_fwd(q, k, v, uk, bias, valid, interpret=False):
-    return _fused_fwd(q, k, v, uk, bias, valid, interpret=interpret), (
+    return fused_relation_attention(q, k, v, uk, bias, valid, interpret), (
         q, k, v, uk, bias, valid,
     )
 
@@ -334,7 +403,7 @@ def _vjp_bwd(interpret, res, g_out):
 fused_relation_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-# -- bias fused in-kernel (the production streaming path) ---------------------
+# -- bias fused in-kernel (experimental; slower than XLA bias on v5e) ---------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def fused_relation_attention_pos(

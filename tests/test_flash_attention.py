@@ -13,6 +13,7 @@ import pytest
 from mega_pytorch_tpu.ops.pallas.position_bias import reference_position_bias
 from mega_pytorch_tpu.ops.pallas.relation_attention import (
     _fused_fwd,
+    _make_flash,
     fused_relation_attention,
     fused_relation_attention_pos,
     reference_relation_attention,
@@ -88,6 +89,48 @@ def test_flash_all_invalid_emits_zeros(data):
         jnp.zeros((M,), bool), interpret=True,
     )
     assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_flash_vmap_routes_to_lane_grid(data):
+    """The streaming engines vmap the per-frame step over video lanes; the
+    custom_vmap rule must route one vmap level into the explicit-lane grid
+    with per-lane semantics identical to running each lane alone."""
+    B = 2
+    rs = np.random.RandomState(1)
+    stack = {
+        key: jnp.stack([data[key], jnp.asarray(rs.randn(*data[key].shape), jnp.float32)])
+        for key in ("q", "k", "v", "uk", "bias")
+    }
+    valid = jnp.stack([data["valid"], jnp.asarray(rs.rand(M) > 0.5)])
+
+    out = jax.vmap(_make_flash(True))(
+        stack["q"], stack["k"], stack["v"], stack["uk"], stack["bias"], valid
+    )
+    assert out.shape == (B, G, N, D)
+    for b in range(B):
+        ref = reference_relation_attention(
+            stack["q"][b], stack["k"][b], stack["v"][b], stack["uk"][b],
+            stack["bias"][b], valid[b],
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[b]), np.asarray(ref), atol=6e-3, err_msg=str(b)
+        )
+
+
+def test_flash_vmap_broadcasts_unbatched_args(data):
+    """Unbatched operands (shared K/V/bias across lanes) must broadcast."""
+    B = 2
+    qs = jnp.stack([data["q"], data["q"][::-1]])
+    out = jax.vmap(
+        _make_flash(True), in_axes=(0, None, None, None, None, None)
+    )(qs, data["k"], data["v"], data["uk"], data["bias"], data["valid"])
+    for b in range(B):
+        ref = reference_relation_attention(
+            qs[b], data["k"], data["v"], data["uk"], data["bias"], data["valid"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[b]), np.asarray(ref), atol=6e-3, err_msg=str(b)
+        )
 
 
 def test_flash_vjp_recomputes_reference_grads(data):
