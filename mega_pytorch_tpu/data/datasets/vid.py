@@ -298,20 +298,30 @@ class VIDMEGADataset(VIDDataset):
             "gt": self.annos[idx], "idx": idx,
         }
 
+    def global_ref_ids(self, idx: int) -> list[int]:
+        """Frame ids of this sample's global updates (the per-video shuffled
+        schedule, vid_mega.py:112-120): global_size ids on frame 0, 1 after."""
+        if not self.global_enable:
+            return []
+        frame_id = int(self.image_set_index[idx].split("/")[-1])
+        size = self.global_size if frame_id == 0 else 1
+        start = self.start_id[idx]
+        shuffled = self.shuffled_index[start]
+        return [
+            int(shuffled[
+                (idx - start + self.global_size - j - 1) % self.frame_seg_len[idx]
+            ])
+            for j in range(size)
+        ]
+
     def _get_test(self, idx: int) -> dict:
         frame_id = int(self.image_set_index[idx].split("/")[-1])
         ref_id = min(self.frame_seg_len[idx] - 1, frame_id + self.max_offset)
         ref_l = [self.load_frame(self.pattern[idx], ref_id)]
-        ref_g = []
-        if self.global_enable:
-            size = self.global_size if frame_id == 0 else 1
-            start = self.start_id[idx]
-            shuffled = self.shuffled_index[start]
-            for j in range(size):
-                fid = shuffled[
-                    (idx - start + self.global_size - j - 1) % self.frame_seg_len[idx]
-                ]
-                ref_g.append(self.load_frame(self.pattern[idx], int(fid)))
+        ref_g = [
+            self.load_frame(self.pattern[idx], fid)
+            for fid in self.global_ref_ids(idx)
+        ]
         return {
             "cur": self.load_image(idx),
             "ref_l": ref_l,

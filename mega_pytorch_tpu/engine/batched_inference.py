@@ -1,0 +1,276 @@
+"""Lockstep multi-lane MEGA streaming (the bench-speed product eval path).
+
+The serial StreamingInferencer steps one video at a time with per-frame
+Python dispatch; a single batch-1 stream leaves most of the chip idle.
+Here L independent videos advance in lockstep through ONE jitted, vmapped
+per-frame step — the configuration bench.py measures — so offline eval runs
+at benchmark throughput (VERDICT r1 weakness #3).
+
+Protocol (identical detections to the serial engine, verified by test):
+every engine step, each lane (a) precomputes its incoming local frame and
+either resets its carry from it (video start: the reference's frame-0
+replication, generalized_rcnn_mega.py:163-193) or pushes it into the window;
+(b) optionally applies one global-cache update; (c) detects at the key slot.
+Per-lane control flow (reset / global-update / emit) is data: boolean masks
+select between computed alternatives inside the jit, so lanes never leave
+lockstep. A video of L frames takes L + (window-1-key) steps; the warmup
+steps' detections are discarded, and the frame-0 sample's global_size global
+updates are spread one-per-step across the warmup (all land before the first
+detect, where the serial engine applies them back-to-back — the global cache
+content at every detect is identical).
+
+Host IO runs ahead of the device through a thread pool assembling per-step
+lane batches (decode + resize + canvas).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..structures.image_list import ImageBatch
+from .inference import _extract
+
+
+def _tree_select(flag, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(flag, x, y), a, b)
+
+
+def make_lockstep_step(model) -> Callable:
+    """One jitted step over stacked lane state.
+
+    step(params, carries, frames, gframes, resets, gmasks)
+      → (carries, Detections)   [all leading-dim = lanes]
+    """
+    M = type(model)
+
+    def one_lane(params, carry, frames, sizes, gframes, gsizes, reset, gmask,
+                 emit):
+        images = ImageBatch(tensors=frames, sizes=sizes)
+        gimages = ImageBatch(tensors=gframes, sizes=gsizes)
+        entry = model.apply({"params": params}, images, method=M.precompute)
+        pushed = model.apply(
+            {"params": params}, carry, entry, images.sizes[0], method=M.push_carry
+        )
+        fresh = model.apply(
+            {"params": params}, entry, images.sizes[0], method=M.init_carry
+        )
+        carry = _tree_select(reset, fresh, pushed)
+        updated = model.apply(
+            {"params": params}, carry, gimages, method=M.update_global
+        )
+        carry = _tree_select(gmask, updated, carry)
+        new_carry, dets = model.apply(
+            {"params": params}, carry, method=M.detect_key
+        )
+        # detect_key pushes per-stage LRM entries; the serial engine only
+        # detects on emitted frames, so warmup-step pushes must be discarded
+        carry = _tree_select(emit, new_carry, carry)
+        return carry, dets
+
+    def step(params, carries, frames, sizes, gframes, gsizes, resets, gmasks,
+             emits):
+        return jax.vmap(
+            one_lane, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0)
+        )(params, carries, frames, sizes, gframes, gsizes, resets, gmasks,
+          emits)
+
+    return jax.jit(step)
+
+
+class _LaneFeed:
+    """Per-engine-step host items for one lane over its queue of videos.
+
+    Yields dicts: frame (H, W, 3) canvas, size (2,), gframe, gsize,
+    reset (bool), gmask (bool), emit (dataset idx or None), orig_hw."""
+
+    def __init__(self, dataset, preprocessor, videos: list[list[int]],
+                 warmup: int):
+        self.dataset = dataset
+        self.prep = preprocessor
+        self.videos = videos
+        self.warmup = warmup
+
+    def _frame(self, pattern, fid):
+        p = self.prep._prep(self.dataset.load_frame(pattern, fid), flip=False)
+        return p.image, p.size
+
+    def __iter__(self) -> Iterator[dict | None]:
+        last = None
+        for idxs in self.videos:
+            L = len(idxs)
+            pattern = self.dataset.pattern[idxs[0]]
+            seg_len = self.dataset.frame_seg_len[idxs[0]]
+            init_globals = list(self.dataset.global_ref_ids(idxs[0]))
+            assert len(init_globals) <= self.warmup + 1, (
+                "global_size must fit in the warmup window for lockstep eval"
+            )
+            for s in range(self.warmup + L):
+                fid = min(s, seg_len - 1)
+                frame, size = self._frame(pattern, fid)
+                j = s - self.warmup
+                if s < len(init_globals):
+                    gid = init_globals[s]
+                elif j >= 1:
+                    gids = self.dataset.global_ref_ids(idxs[j])
+                    gid = gids[0] if gids else None
+                else:
+                    gid = None
+                if gid is not None:
+                    gframe, gsize = self._frame(pattern, gid)
+                else:
+                    gframe, gsize = frame, size  # ignored (gmask False)
+                emit = idxs[j] if j >= 0 else None
+                orig = None
+                if emit is not None:
+                    info = self.dataset.get_img_info(emit)
+                    orig = (info["height"], info["width"])
+                last = dict(
+                    frame=frame, size=size, gframe=gframe, gsize=gsize,
+                    reset=(s == 0), gmask=(gid is not None), emit=emit,
+                    orig_hw=orig,
+                )
+                yield last
+        # idle tail: repeat the last frame with no resets/updates/emissions
+        while True:
+            if last is None:
+                return
+            yield dict(
+                frame=last["frame"], size=last["size"],
+                gframe=last["frame"], gsize=last["size"],
+                reset=False, gmask=False, emit=None, orig_hw=None,
+            )
+
+
+def _partition(videos: list[list[int]], lanes: int, warmup: int):
+    """Greedy longest-first balance of per-lane total steps."""
+    order = sorted(videos, key=len, reverse=True)
+    bins: list[list[list[int]]] = [[] for _ in range(lanes)]
+    loads = [0] * lanes
+    for v in order:
+        i = int(np.argmin(loads))
+        bins[i].append(v)
+        loads[i] += len(v) + warmup
+    return [b for b in bins if b], max(loads) if loads else 0
+
+
+def split_videos(dataset, indices) -> list[list[int]]:
+    """Ascending `indices` (whole videos) → per-video index lists."""
+    videos: list[list[int]] = []
+    for i in indices:
+        frame_id = int(dataset.image_set_index[i].split("/")[-1])
+        if frame_id == 0 or not videos:
+            videos.append([])
+        videos[-1].append(i)
+    return videos
+
+
+def compute_on_dataset_lockstep(
+    model, params, dataset, indices, preprocessor, lanes: int = 4,
+    logger=None, log_period: int = 50, prefetch_depth: int = 8,
+) -> dict:
+    """Lockstep multi-lane streaming over whole videos → {idx: prediction}."""
+    import time
+
+    v = model.v
+    warmup = v.all_frame_interval - v.key_frame_location - 1
+    videos = split_videos(dataset, indices)
+
+    # group videos by canvas shape (portrait vs landscape) — lanes must stack
+    groups: dict = {}
+    for vid in videos:
+        img = dataset.load_frame(dataset.pattern[vid[0]], 0)
+        p = preprocessor._prep(img, flip=False)
+        groups.setdefault(p.image.shape, []).append(vid)
+
+    step = make_lockstep_step(model)
+    results: dict = {}
+    t0 = time.time()
+    done = 0
+
+    for canvas_shape, group in groups.items():
+        bins, max_steps = _partition(group, lanes, warmup)
+        n_lanes = len(bins)
+        feeds = [iter(_LaneFeed(dataset, preprocessor, b, warmup)) for b in bins]
+
+        def assemble():
+            items = [next(f) for f in feeds]
+            return dict(
+                frames=np.stack([it["frame"] for it in items])[:, None],
+                sizes=np.stack([it["size"] for it in items])[:, None],
+                gframes=np.stack([it["gframe"] for it in items])[:, None],
+                gsizes=np.stack([it["gsize"] for it in items])[:, None],
+                resets=np.array([it["reset"] for it in items]),
+                gmasks=np.array([it["gmask"] for it in items]),
+                emit_mask=np.array([it["emit"] is not None for it in items]),
+                emits=[it["emit"] for it in items],
+                origs=[it["orig_hw"] for it in items],
+            )
+
+        def producer(q):
+            for _ in range(max_steps):
+                q.put(assemble())
+            q.put(None)
+
+        q: queue.Queue = queue.Queue(maxsize=prefetch_depth)
+        threading.Thread(target=producer, args=(q,), daemon=True).start()
+
+        # initial carries: built from the first step's frames (reset masks
+        # overwrite them on the very first step anyway). Jitted: un-jitted
+        # apply dispatches op-by-op, minutes through a ~30ms-RTT relay.
+        first = q.get()
+        one = ImageBatch(
+            tensors=jnp.asarray(first["frames"][0]),
+            sizes=jnp.asarray(first["sizes"][0]),
+        )
+
+        @jax.jit
+        def _boot(params, one):
+            entry = model.apply(
+                {"params": params}, one, method=type(model).precompute
+            )
+            carry1 = model.apply(
+                {"params": params}, entry, one.sizes[0],
+                method=type(model).init_carry,
+            )
+            return jax.tree_util.tree_map(
+                lambda x: jnp.tile(x[None], (n_lanes,) + (1,) * x.ndim), carry1
+            )
+
+        carries = _boot(params, one)
+
+        batch = first
+        while batch is not None:
+            carries, dets = step(
+                params, carries,
+                jnp.asarray(batch["frames"]), jnp.asarray(batch["sizes"]),
+                jnp.asarray(batch["gframes"]), jnp.asarray(batch["gsizes"]),
+                jnp.asarray(batch["resets"]), jnp.asarray(batch["gmasks"]),
+                jnp.asarray(batch["emit_mask"]),
+            )
+            emits = batch["emits"]
+            if any(e is not None for e in emits):
+                dets_np = jax.tree_util.tree_map(np.asarray, dets)
+                for lane, (e, orig) in enumerate(zip(emits, batch["origs"])):
+                    if e is None:
+                        continue
+                    lane_dets = jax.tree_util.tree_map(
+                        lambda x: x[lane], dets_np
+                    )
+                    results[e] = _extract(
+                        lane_dets, batch["sizes"][lane][0], orig
+                    )
+                    done += 1
+                    if logger and done % log_period == 0:
+                        dt = time.time() - t0
+                        logger.info(
+                            f"lockstep inference {done}/{len(indices)} "
+                            f"({done / dt:.1f} fps)"
+                        )
+            batch = q.get()
+    return results

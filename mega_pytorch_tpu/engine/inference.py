@@ -145,11 +145,21 @@ class StreamingInferencer:
 
 def compute_on_dataset(
     model, params, dataset, indices, preprocessor, method: str, logger=None,
-    log_period: int = 100,
+    log_period: int = 100, lanes: int = 1,
 ) -> dict:
     """Run streaming inference over `indices` (whole videos, ascending).
 
+    lanes > 1 (mega only): vmapped lockstep multi-video streaming — the
+    benchmark configuration — instead of one serial video at a time.
+
     Returns {dataset_idx: prediction dict in original image coords}."""
+    if lanes > 1 and method == "mega":
+        from .batched_inference import compute_on_dataset_lockstep
+
+        return compute_on_dataset_lockstep(
+            model, params, dataset, indices, preprocessor, lanes=lanes,
+            logger=logger,
+        )
     runner = StreamingInferencer(model, params, method, preprocessor, dataset)
     results: dict = {}
     timer = Timer()

@@ -21,7 +21,7 @@ from mega_pytorch_tpu.utils.checkpoint import Checkpointer
 from mega_pytorch_tpu.utils.logger import setup_logger
 
 TINY_C = RCNNConfig(
-    depth="R-50",
+    depth="R-14",  # one-block-per-stage testing spec: same code path, fast compile
     anchor_sizes=(8, 16, 32),
     pre_nms_top_n_train=64,
     pre_nms_top_n_test=64,
@@ -261,6 +261,7 @@ def test_mega_train_step_sharded_over_mesh():
         np.testing.assert_array_equal(shards[0], s)
 
 
+@pytest.mark.slow
 def test_mega_training_improves_ap(tiny_root, tmp_path):
     """End-to-end system check: MEGA trained on the synthetic moving-box
     videos must beat its untrained self on AP50 (full train -> streaming
@@ -370,3 +371,50 @@ def test_im_detect_bbox_aug(tiny_root):
     if len(out["boxes"]):
         assert out["boxes"][:, [0, 2]].max() <= w0 + 1
         assert out["boxes"][:, [1, 3]].max() <= h0 + 1
+
+
+def test_lockstep_matches_serial_streaming(tiny_root):
+    """The vmapped multi-lane lockstep engine (the bench configuration) must
+    emit the same detections as the serial per-video StreamingInferencer."""
+    v = VidConfig(
+        method="mega", base_stage=2, all_frame_interval=3, key_frame_location=1,
+        memory_size=3, global_size=2, global_res_stage=0,
+    )
+    model = GeneralizedRCNNMEGA(c=TINY_C, v=v)
+    ds = _dataset(
+        tiny_root, VIDMEGADataset, is_train=False,
+        max_offset=1, all_frame_interval=3, global_size=2, global_seed=0,
+    )
+    prep = EvalPreprocessor(**_prep_kwargs())
+
+    from mega_pytorch_tpu.structures.image_list import ImageBatch
+
+    s0 = prep(ds[0])
+    one = ImageBatch(tensors=s0["cur"], sizes=s0["cur_size"])
+    tmp = model.init(jax.random.PRNGKey(0), one, method=model.precompute)["params"]
+    entry = model.apply({"params": tmp}, one, method=model.precompute)
+    carry = model.apply({"params": tmp}, entry, one.sizes[0], method=model.init_carry)
+    params = model.init(jax.random.PRNGKey(0), carry, one, method=model.test_step)["params"]
+
+    indices = list(range(len(ds)))
+    serial = compute_on_dataset(model, params, ds, indices, prep, "mega")
+    lockstep = compute_on_dataset(
+        model, params, ds, indices, prep, "mega", lanes=2
+    )
+    assert sorted(serial) == sorted(lockstep)
+    for i in indices:
+        s, l = serial[i], lockstep[i]
+        assert len(s["boxes"]) == len(l["boxes"]), i
+        if not len(s["boxes"]):
+            continue
+        so, lo = np.argsort(-s["scores"]), np.argsort(-l["scores"])
+        # vmap changes fusion order; tiny fp drift compounds through the
+        # carry over a video, so the tolerance is loose-ish but far below
+        # any score that could flip an AP ranking
+        np.testing.assert_allclose(
+            s["scores"][so], l["scores"][lo], atol=1e-3, err_msg=str(i)
+        )
+        np.testing.assert_allclose(
+            s["boxes"][so], l["boxes"][lo], atol=0.2, err_msg=str(i)
+        )
+        np.testing.assert_array_equal(s["labels"][so], l["labels"][lo], err_msg=str(i))

@@ -16,6 +16,9 @@ import numpy as np
 
 
 def main():
+    from mega_pytorch_tpu.utils.misc import setup_compilation_cache
+
+    setup_compilation_cache()
     parser = argparse.ArgumentParser(description="TPU video detection eval")
     parser.add_argument("--preset", default="mega_R_101")
     parser.add_argument("--config-file", action="append", default=None)
@@ -26,6 +29,10 @@ def main():
     parser.add_argument(
         "--box-only", action="store_true",
         help="score class-agnostic proposal recall instead of AP",
+    )
+    parser.add_argument(
+        "--lanes", type=int, default=4,
+        help="parallel video lanes for lockstep streaming (mega)",
     )
     parser.add_argument("--shard", type=int, default=0)
     parser.add_argument("--num-shards", type=int, default=1)
@@ -110,7 +117,10 @@ def main():
             if logger and n % 100 == 0:
                 logger.info(f"bbox-aug {n}/{len(indices)}")
     else:
-        preds = compute_on_dataset(model, params, dataset, indices, prep, method, logger)
+        preds = compute_on_dataset(
+            model, params, dataset, indices, prep, method, logger,
+            lanes=args.lanes,
+        )
 
     os.makedirs(args.output_dir, exist_ok=True)
     np.savez_compressed(
