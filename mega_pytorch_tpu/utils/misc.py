@@ -90,3 +90,52 @@ def init_distributed() -> None:
 
     if jax.process_count() > 1 or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
+
+
+def host_cache_namespace() -> str:
+    """Short fingerprint of this host's CPU features.
+
+    XLA:CPU persistent-cache entries are AOT machine code keyed WITHOUT the
+    target CPU features; loading an entry compiled on a different machine
+    warns 'could lead to execution errors such as SIGILL' and has produced
+    real SIGABRTs here. Scoping the cache dir per CPU fingerprint makes
+    cross-machine reuse impossible while keeping same-host reuse."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    key = platform.machine() + ":" + flags
+    return hashlib.sha1(key.encode()).hexdigest()[:12]
+
+
+def setup_compilation_cache(cache_dir: str | None = None) -> None:
+    """Enable jax's persistent compilation cache (idempotent).
+
+    The streaming/train graphs take minutes to compile cold; every CLI calls
+    this so repeat invocations start in seconds. Honors
+    JAX_COMPILATION_CACHE_DIR (treated as the base dir); defaults to
+    ~/.cache/mega_pytorch_tpu. The actual dir is namespaced per host CPU
+    (see host_cache_namespace)."""
+    import jax
+
+    base = (
+        cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.expanduser("~/.cache/mega_pytorch_tpu/jax_cache")
+    )
+    cache_dir = os.path.join(base, host_cache_namespace())
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # unknown flags on an older jax: cache is best-effort

@@ -230,18 +230,36 @@ def init_inference_params(model, method: str, preprocessor, dataset, logger=None
     one = ImageBatch(tensors=sample["cur"], sizes=sample["cur_size"])
     key = jax.random.PRNGKey(0)
 
+    # every phase is jitted: un-jitted flax init/apply dispatches op-by-op,
+    # which costs minutes through a ~30ms-RTT device relay
     if method == "base":
-        return model.init(key, one, train=False)["params"]
+        init = jax.jit(lambda k, im: model.init(k, im, train=False))
+        return init(key, one)["params"]
     if method == "dff":
-        p1 = model.init(key, one, method=model.make_key)["params"]
-        carry = model.apply({"params": p1}, one, method=model.make_key)
-        p2 = model.init(key, carry, one, method=model.detect_non_key)["params"]
+        def _dff(k, im):
+            p1 = model.init(k, im, method=model.make_key)["params"]
+            carry = model.apply({"params": p1}, im, method=model.make_key)
+            return p1, carry
+
+        p1, carry = jax.jit(_dff)(key, one)
+        p2 = jax.jit(
+            lambda k, c, im: model.init(k, c, im, method=model.detect_non_key)
+        )(key, carry, one)["params"]
         return _union_trees(p1, p2)
+
     # fgfa / rdn / mega share the precompute→carry→step pattern
-    p1 = model.init(key, one, method=model.precompute)["params"]
-    entry = model.apply({"params": p1}, one, method=model.precompute)
-    carry = model.apply({"params": p1}, entry, one.sizes[0], method=model.init_carry)
-    p2 = model.init(key, carry, one, method=model.test_step)["params"]
+    def _boot(k, im):
+        p1 = model.init(k, im, method=model.precompute)["params"]
+        entry = model.apply({"params": p1}, im, method=model.precompute)
+        carry = model.apply(
+            {"params": p1}, entry, im.sizes[0], method=model.init_carry
+        )
+        return p1, carry
+
+    p1, carry = jax.jit(_boot)(key, one)
+    p2 = jax.jit(
+        lambda k, c, im: model.init(k, c, im, method=model.test_step)
+    )(key, carry, one)["params"]
     return _union_trees(p1, p2)
 
 

@@ -20,10 +20,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 # Persistent compilation cache: repeated suite runs skip XLA recompiles of the
 # heavyweight train/eval steps (VERDICT r1 weakness #5 — suite wall time).
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".cache", "jax_cache")
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Namespaced per host CPU: cross-machine AOT entries can SIGILL/SIGABRT.
+from mega_pytorch_tpu.utils.misc import setup_compilation_cache  # noqa: E402
+
+setup_compilation_cache(
+    os.path.join(os.path.dirname(__file__), "..", ".cache", "jax_cache")
+)

@@ -11,7 +11,7 @@ from mega_pytorch_tpu.models.detectors.rdn import VidConfig
 from mega_pytorch_tpu.structures.image_list import ImageBatch
 
 TINY_C = RCNNConfig(
-    depth="R-50",
+    depth="R-14",  # one-block-per-stage testing spec: same code path, fast compile
     anchor_sizes=(16, 32, 64),
     pre_nms_top_n_train=128,
     pre_nms_top_n_test=128,

@@ -20,7 +20,7 @@ from mega_pytorch_tpu.models.roi_heads.subsample import (
 from mega_pytorch_tpu.structures.image_list import ImageBatch
 
 TINY = RCNNConfig(
-    depth="R-50",
+    depth="R-14",  # one-block-per-stage testing spec: same code path, fast compile
     pre_nms_top_n_train=200,
     pre_nms_top_n_test=200,
     post_nms_top_n_train=50,

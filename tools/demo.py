@@ -129,6 +129,9 @@ class FileVideo(FolderVideo):
 
 
 def main():
+    from mega_pytorch_tpu.utils.misc import setup_compilation_cache
+
+    setup_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="mega_R_101")
     parser.add_argument("--checkpoint", default=None)

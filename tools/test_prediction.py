@@ -17,6 +17,9 @@ import numpy as np
 
 
 def main():
+    from mega_pytorch_tpu.utils.misc import setup_compilation_cache
+
+    setup_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--preset", default="mega_R_101")
     parser.add_argument("--data-dir", default="datasets")

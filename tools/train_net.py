@@ -22,6 +22,9 @@ import numpy as np
 
 
 def main():
+    from mega_pytorch_tpu.utils.misc import setup_compilation_cache
+
+    setup_compilation_cache()
     parser = argparse.ArgumentParser(description="TPU video detection training")
     parser.add_argument("--preset", default="base_R_50")
     parser.add_argument("--config-file", action="append", default=None)
@@ -100,9 +103,11 @@ def main():
 
     first = prep(dataset[0])
     inputs, gt = assemble_inputs(method, first)
-    params = model.init(
-        jax.random.PRNGKey(0), inputs, gt, jax.random.PRNGKey(1), train=True
-    )["params"]
+    # jitted init: un-jitted flax init dispatches op-by-op (minutes over a
+    # ~30ms-RTT device relay; also slow compile-per-op on CPU)
+    params = jax.jit(
+        lambda k1, inputs, gt, k2: model.init(k1, inputs, gt, k2, train=True)
+    )(jax.random.PRNGKey(0), inputs, gt, jax.random.PRNGKey(1))["params"]
 
     checkpointer = Checkpointer(cfg.OUTPUT_DIR, logger)
     start_iter = 0
