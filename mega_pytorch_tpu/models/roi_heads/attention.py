@@ -27,7 +27,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.pallas.position_bias import fused_position_bias, reference_position_bias
-from ...ops.pallas.relation_attention import fused_relation_attention
+from ...ops.pallas.relation_attention import (
+    fused_relation_attention,
+    fused_relation_attention_pos,
+)
 
 NEG_INF = -1e30
 
@@ -133,15 +136,20 @@ class RelationAttention(nn.Module):
         else:
             uk = None
 
+        use_flash = jax.default_backend() == "tpu" and m >= FUSED_MIN_REFS
         log_bias = None
+        bias_in_kernel = False
         if self.use_position:
             wg = self._wg()
-            if pos_rois is not None:
-                # reference_position_bias contracts the sinusoid features via
-                # a (c, f) einsum that XLA fuses without materializing the
-                # (N, M, 64) embedding; the Pallas variant (fused_position_bias)
-                # is kept for experimentation but Mosaic currently lacks the
-                # batched-contraction support to beat XLA here
+            if pos_rois is not None and use_flash:
+                # flash pos path evaluates the bias per tile inside the
+                # attention kernel (per-row MXU contraction): neither the
+                # bias nor the logits ever exist in HBM — measured 4.2 ms vs
+                # 6.7 ms for XLA-bias + input-bias flash at stage-0 shapes
+                bias_in_kernel = True
+            elif pos_rois is not None:
+                # XLA path: the (c, f) einsum fuses without materializing
+                # the (N, M, 64) embedding
                 log_bias = reference_position_bias(
                     pos_rois[0], pos_rois[1], wg["kernel"], wg["bias"],
                     self.embed_dim,
@@ -173,20 +181,24 @@ class RelationAttention(nn.Module):
             preferred_element_type=jnp.float32,
         )  # (M, g, D)
 
-        if jax.default_backend() == "tpu" and m >= FUSED_MIN_REFS:
+        if use_flash:
             # flash path: the (g, N, M) logits live only in VMEM tiles
             valid = (
                 ref_valid if ref_valid is not None
                 else jnp.ones((m,), bool)
             )
-            out = fused_relation_attention(
-                q.transpose(1, 0, 2),
-                k.transpose(1, 0, 2),
-                v.transpose(1, 0, 2),
-                uk if uk is not None else jnp.zeros((g, m), jnp.float32),
-                log_bias,
-                valid,
+            qt, kt, vt = (
+                q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2)
             )
+            ukt = uk if uk is not None else jnp.zeros((g, m), jnp.float32)
+            if bias_in_kernel:
+                out = fused_relation_attention_pos(
+                    qt, kt, vt, ukt, pos_rois[0],
+                    (pos_rois[1], wg["kernel"], wg["bias"]), valid,
+                    self.embed_dim,
+                )
+            else:
+                out = fused_relation_attention(qt, kt, vt, ukt, log_bias, valid)
             return out.transpose(1, 0, 2).reshape(-1, self.feat_dim) + bv
 
         aff = jnp.einsum(

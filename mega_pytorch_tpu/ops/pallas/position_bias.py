@@ -10,19 +10,25 @@ M=3750) — the measured hot spot of the streaming pipeline.
 
 This kernel computes geometry → sinusoids → Wg contraction → relu → log
 entirely in VMEM per (TN, TM) tile and writes only the (TN, TM, groups) bias
-tile (Mosaic rejects the lane/sublane-mixing reshape a single flat MXU dot
-would need, so the contraction runs per (channel, freq) via einsum).
+tile. The contraction over the 64 (channel, sin|cos, freq) terms runs as a
+scalar-FMA unroll against SMEM weights — hardware Mosaic on this jax version
+lowers neither the 4D dot_general nor the lane/sublane-mixing reshape a flat
+MXU matmul would need (verified: 'tpu.matmul op ... lhs contracting dims
+must be of size 1'), so the VPU loop is the only formulation that compiles
+on a real chip.
 
-The pure-XLA twin (`reference_position_bias`) has identical semantics and is
-what the attention module currently uses everywhere — on this jax version
-XLA fuses the sinusoid contraction well enough that the Pallas path has no
-measured advantage; the kernel is kept (with parity tests) as the starting
-point for a fully fused attention kernel.
+The pure-XLA twin (`reference_position_bias`) keeps the einsum formulation
+(XLA lowers it fine and fuses the sinusoid producers) and is the production
+path everywhere; measured 5.4 ms for one MEGA stage-0 call (675 x 3750) on
+v5e, dominated by HBM traffic on the sinusoid intermediates. The kernel is
+kept (with parity tests) as the starting point for a fully fused attention
+kernel.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -39,53 +45,42 @@ def _geometry(r: jnp.ndarray):
     return jnp.maximum(w, 1e-3), jnp.maximum(h, 1e-3), cx, cy
 
 
-def _tile_bias(rois, ref_rois, wg, bias, embed_dim: int):
-    """(TN, 4) x (TM, 4) → (TN, TM, groups) log position bias."""
-    tn, tm = rois.shape[0], ref_rois.shape[0]
+def _log_ratios(rois, ref_rois):
+    """(TN, 4) x (TM, 4) → 4 slabs (TN, TM): the pairwise geometry channels."""
     w, h, cx, cy = _geometry(rois)
     w_r, h_r, cx_r, cy_r = _geometry(ref_rois)
-
     dx = jnp.log(jnp.abs((cx[:, None] - cx_r[None, :]) / w[:, None]) + 1e-3)
     dy = jnp.log(jnp.abs((cy[:, None] - cy_r[None, :]) / h[:, None]) + 1e-3)
     dw = jnp.log(w[:, None] / w_r[None, :])
     dh = jnp.log(h[:, None] / h_r[None, :])
-    pos = jnp.stack([dx, dy, dw, dh], axis=2)  # (TN, TM, 4)
-
-    num_freq = embed_dim // 8
-    # 1/dim_mat from an integer iota (Mosaic: no float iota, no captured
-    # array constants): dim_mat = 1000 ** (8/embed_dim * f)
-    f_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, num_freq), 3)
-    inv_dim = jnp.exp(
-        -f_iota.astype(jnp.float32) * (8.0 / embed_dim * float(np.log(1000.0)))
-    )
-    div = pos[..., None] * 100.0 * inv_dim  # (TN, TM, 4, F)
-    g = wg.shape[1]
-    # contract the 64 embedding features without flattening (Mosaic rejects
-    # lane/sublane-mixing reshapes): wg rows are ordered (channel, sin|cos,
-    # freq) to match the reference's concat layout. Sinusoids are cast to
-    # bf16 before the contraction — they are bounded in [-1, 1] so bf16's
-    # 8-bit mantissa costs ~4e-3 absolute on the bias weight, well below the
-    # softmax's sensitivity, and it halves the dominant HBM traffic.
-    w4 = wg.reshape(4, 2, num_freq, g)
-    pw = jnp.einsum(
-        "nmcf,cfg->nmg",
-        jnp.sin(div).astype(jnp.bfloat16),
-        w4[:, 0].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ) + jnp.einsum(
-        "nmcf,cfg->nmg",
-        jnp.cos(div).astype(jnp.bfloat16),
-        w4[:, 1].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    pw = jnp.maximum(pw + bias, 0.0)  # (TN, TM, g)
-    return jnp.log(pw + 1e-6)
+    return dx, dy, dw, dh
 
 
 def _kernel(rois_ref, refs_ref, wg_ref, b_ref, out_ref, *, embed_dim: int):
-    out_ref[:] = _tile_bias(
-        rois_ref[:], refs_ref[:], wg_ref[:], b_ref[:], embed_dim
-    )
+    """FMA-unroll tile kernel; wg/b live in SMEM (scalar element reads)."""
+    num_freq = embed_dim // 8
+    pos4 = _log_ratios(rois_ref[:], refs_ref[:])
+    g = out_ref.shape[0]
+    log1000 = float(np.log(1000.0))
+    # stream over the 64 (channel, freq) terms, keeping only the current
+    # sin/cos slab pair and the g accumulators live — precomputing all 128
+    # slabs per tile blows the 16M scoped-VMEM stack limit
+    accs = [jnp.zeros_like(pos4[0]) + b_ref[0, gi] for gi in range(g)]
+    for c in range(4):
+        for f in range(num_freq):
+            inv_dim = 100.0 * math.exp(-f * (1.0 / num_freq) * log1000)
+            ang = pos4[c] * inv_dim  # (TN, TM)
+            s, co = jnp.sin(ang), jnp.cos(ang)
+            ws_row = c * 2 * num_freq + f
+            wc_row = c * 2 * num_freq + num_freq + f
+            accs = [
+                accs[gi] + s * wg_ref[ws_row, gi] + co * wg_ref[wc_row, gi]
+                for gi in range(g)
+            ]
+    # stack on axis 0: g rides the leading (untiled) dim — stacking on the
+    # lane axis would pad each slab to 128 lanes (16x VMEM blow-up)
+    pw = jnp.maximum(jnp.stack(accs, axis=0), 0.0)  # (g, TN, TM)
+    out_ref[:] = jnp.log(pw + 1e-6)
 
 
 def _pad_rows(x: jnp.ndarray, mult: int) -> jnp.ndarray:
@@ -117,21 +112,24 @@ def fused_position_bias(
 
     out = pl.pallas_call(
         functools.partial(_kernel, embed_dim=embed_dim),
-        out_shape=jax.ShapeDtypeStruct((np_, mp_, g), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, np_, mp_), jnp.float32),
         grid=(np_ // tile_n, mp_ // tile_m),
         in_specs=[
             pl.BlockSpec((tile_n, 4), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, 4), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((embed_dim, g), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (tile_n, tile_m, g), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            (g, tile_n, tile_m), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(rois_p, refs_p, wg_kernel.astype(jnp.float32), wg_bias.astype(jnp.float32))
-    # (N, M, g) → (g, N, M): one cheap XLA transpose of the small bias tensor
-    return out[:n, :m].transpose(2, 0, 1)
+    )(
+        rois_p, refs_p,
+        wg_kernel.astype(jnp.float32),
+        wg_bias.astype(jnp.float32)[None, :],
+    )
+    return out[:, :n, :m]
 
 
 def reference_position_bias(
@@ -141,11 +139,32 @@ def reference_position_bias(
     wg_bias: jnp.ndarray,
     embed_dim: int = 64,
 ) -> jnp.ndarray:
-    """Pure-XLA fallback with identical semantics (used on CPU)."""
-    return _tile_bias(
-        rois.astype(jnp.float32),
-        ref_rois.astype(jnp.float32),
-        wg_kernel.astype(jnp.float32),
-        wg_bias.astype(jnp.float32),
-        embed_dim,
-    ).transpose(2, 0, 1)
+    """Pure-XLA twin (the production path; einsum formulation).
+
+    Sinusoids are cast to bf16 before the contraction — they are bounded in
+    [-1, 1] so bf16's 8-bit mantissa costs ~4e-3 absolute on the bias
+    weight, well below the softmax's sensitivity, and it halves the dominant
+    HBM traffic."""
+    num_freq = embed_dim // 8
+    g = wg_kernel.shape[1]
+    dx, dy, dw, dh = _log_ratios(
+        rois.astype(jnp.float32), ref_rois.astype(jnp.float32)
+    )
+    pos = jnp.stack([dx, dy, dw, dh], axis=2)  # (N, M, 4)
+    freq = jnp.arange(num_freq, dtype=jnp.float32)
+    inv_dim = jnp.exp(-freq * (8.0 / embed_dim * float(np.log(1000.0))))
+    div = pos[..., None] * 100.0 * inv_dim  # (N, M, 4, F)
+    w4 = wg_kernel.astype(jnp.float32).reshape(4, 2, num_freq, g)
+    pw = jnp.einsum(
+        "nmcf,cfg->nmg",
+        jnp.sin(div).astype(jnp.bfloat16),
+        w4[:, 0].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "nmcf,cfg->nmg",
+        jnp.cos(div).astype(jnp.bfloat16),
+        w4[:, 1].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    pw = jnp.maximum(pw + wg_bias.astype(jnp.float32), 0.0)
+    return jnp.log(pw + 1e-6).transpose(2, 0, 1)

