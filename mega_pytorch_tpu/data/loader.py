@@ -16,7 +16,7 @@ from typing import Callable, Iterator
 import numpy as np
 
 from ..models.detectors.rcnn import pad_gt
-from .transforms import preprocess_image, transform_boxes
+from .transforms import preprocess_image, preprocess_image_u8, transform_boxes
 
 
 class TrainPreprocessor:
@@ -38,6 +38,14 @@ class TrainPreprocessor:
 
     def _prep(self, img, flip):
         return preprocess_image(
+            img, self.min_size, self.max_size, flip,
+            self.canvas_short, self.canvas_long,
+        )
+
+    def _prep_u8(self, img, flip):
+        """uint8-canvas variant (4x smaller host->device transfers); pair
+        with transforms.normalize_u8_frames on device — bit-identical."""
+        return preprocess_image_u8(
             img, self.min_size, self.max_size, flip,
             self.canvas_short, self.canvas_long,
         )

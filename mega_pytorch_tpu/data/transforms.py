@@ -81,6 +81,59 @@ def preprocess_image(
     )
 
 
+def preprocess_image_u8(
+    img: Image.Image,
+    min_size: int,
+    max_size: int,
+    flip: bool,
+    canvas_short: int = 608,
+    canvas_long: int = 1024,
+) -> Preprocessed:
+    """Like preprocess_image but the canvas stays uint8 RGB (4x smaller on
+    the wire); normalization (BGR, mean subtract, pad-zeroing) happens on
+    device via `normalize_u8_frames`. Bit-identical to the f32 path: PIL's
+    resize output is uint8, and uint8→f32 conversion is exact."""
+    w0, h0 = img.size
+    oh, ow = resize_hw(h0, w0, min_size, max_size)
+    img = img.resize((ow, oh), Image.BILINEAR)
+    if flip:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    arr = np.asarray(img, np.uint8)  # (oh, ow, 3) RGB [0, 255]
+    ch, cw = canvas_for(h0, w0, canvas_short, canvas_long)
+    canvas = np.zeros((ch, cw, 3), np.uint8)
+    canvas[:oh, :ow] = arr
+    return Preprocessed(
+        image=canvas,
+        size=np.array([oh, ow], np.float32),
+        scale=oh / h0,
+    )
+
+
+def normalize_u8_frames(frames, sizes, pixel_mean=None):
+    """Device-side half of preprocess_image_u8: uint8 RGB canvas → BGR255
+    mean-subtracted f32 with the padded region zeroed (matching the host
+    path, which pads AFTER normalization). frames (..., H, W, 3) uint8,
+    sizes (..., 2) [oh, ow]."""
+    import jax.numpy as jnp
+
+    mean = jnp.asarray(
+        (pixel_mean if pixel_mean is not None else PIXEL_MEAN_BGR), jnp.float32
+    )
+    x = frames[..., ::-1].astype(jnp.float32) - mean
+    h, w = frames.shape[-3], frames.shape[-2]
+    iy = jnp.arange(h, dtype=jnp.float32)
+    ix = jnp.arange(w, dtype=jnp.float32)
+    oh = sizes[..., 0:1]  # (..., 1)
+    ow = sizes[..., 1:2]
+    mask_y = iy[None, :] < oh  # (..., H)
+    mask_x = ix[None, :] < ow  # (..., W)
+    mask = (
+        mask_y.reshape(*frames.shape[:-3], h, 1, 1)
+        & mask_x.reshape(*frames.shape[:-3], 1, w, 1)
+    )
+    return jnp.where(mask, x, 0.0)
+
+
 def transform_boxes(
     boxes: np.ndarray, h0: int, w0: int, oh: int, ow: int, flip: bool
 ) -> np.ndarray:

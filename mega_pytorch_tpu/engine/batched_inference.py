@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.transforms import normalize_u8_frames
 from ..structures.image_list import ImageBatch
 from .inference import _extract
 
@@ -51,8 +52,14 @@ def make_lockstep_step(model) -> Callable:
 
     def one_lane(params, carry, frames, sizes, gframes, gsizes, reset, gmask,
                  emit):
-        images = ImageBatch(tensors=frames, sizes=sizes)
-        gimages = ImageBatch(tensors=gframes, sizes=gsizes)
+        # frames arrive as uint8 canvases (4x smaller over the host->device
+        # link); normalization is bit-identical to the host f32 path
+        images = ImageBatch(
+            tensors=normalize_u8_frames(frames, sizes), sizes=sizes
+        )
+        gimages = ImageBatch(
+            tensors=normalize_u8_frames(gframes, gsizes), sizes=gsizes
+        )
         entry = model.apply({"params": params}, images, method=M.precompute)
         pushed = model.apply(
             {"params": params}, carry, entry, images.sizes[0], method=M.push_carry
@@ -97,7 +104,7 @@ class _LaneFeed:
         self.warmup = warmup
 
     def _frame(self, pattern, fid):
-        p = self.prep._prep(self.dataset.load_frame(pattern, fid), flip=False)
+        p = self.prep._prep_u8(self.dataset.load_frame(pattern, fid), flip=False)
         return p.image, p.size
 
     def __iter__(self) -> Iterator[dict | None]:
@@ -185,7 +192,7 @@ def compute_on_dataset_lockstep(
     groups: dict = {}
     for vid in videos:
         img = dataset.load_frame(dataset.pattern[vid[0]], 0)
-        p = preprocessor._prep(img, flip=False)
+        p = preprocessor._prep_u8(img, flip=False)
         groups.setdefault(p.image.shape, []).append(vid)
 
     step = make_lockstep_step(model)
@@ -224,13 +231,12 @@ def compute_on_dataset_lockstep(
         # overwrite them on the very first step anyway). Jitted: un-jitted
         # apply dispatches op-by-op, minutes through a ~30ms-RTT relay.
         first = q.get()
-        one = ImageBatch(
-            tensors=jnp.asarray(first["frames"][0]),
-            sizes=jnp.asarray(first["sizes"][0]),
-        )
 
         @jax.jit
-        def _boot(params, one):
+        def _boot(params, frames_u8, sizes):
+            one = ImageBatch(
+                tensors=normalize_u8_frames(frames_u8, sizes), sizes=sizes
+            )
             entry = model.apply(
                 {"params": params}, one, method=type(model).precompute
             )
@@ -242,14 +248,18 @@ def compute_on_dataset_lockstep(
                 lambda x: jnp.tile(x[None], (n_lanes,) + (1,) * x.ndim), carry1
             )
 
-        carries = _boot(params, one)
+        carries = _boot(
+            params, jnp.asarray(first["frames"][0]), jnp.asarray(first["sizes"][0])
+        )
 
         batch = first
         while batch is not None:
+            # device_put enqueues the (uint8) frame transfers asynchronously,
+            # overlapping the previous step's device compute
             carries, dets = step(
                 params, carries,
-                jnp.asarray(batch["frames"]), jnp.asarray(batch["sizes"]),
-                jnp.asarray(batch["gframes"]), jnp.asarray(batch["gsizes"]),
+                jax.device_put(batch["frames"]), jax.device_put(batch["sizes"]),
+                jax.device_put(batch["gframes"]), jax.device_put(batch["gsizes"]),
                 jnp.asarray(batch["resets"]), jnp.asarray(batch["gmasks"]),
                 jnp.asarray(batch["emit_mask"]),
             )
