@@ -55,6 +55,35 @@ def _geometry(r):
     return jnp.maximum(w, 1e-3), jnp.maximum(h, 1e-3), cx, cy
 
 
+def _sincos(x):
+    """Fast sin/cos pair: range-reduce to [-pi, pi] + odd/even minimax polys.
+
+    Absolute error < 2e-4 over the bias args' range (|x| < ~800 rad; the f32
+    reduction residual dominates at the top of the range) — far inside the
+    bf16-grade tolerance the bias path already accepts (sinusoids feed a
+    contraction whose XLA twin quantizes them to bf16, ~4e-3). Replaces two
+    transcendental calls with ~12 VPU FMAs."""
+    two_pi = 6.283185307179586
+    k = jnp.round(x * (1.0 / two_pi))
+    r = x - k * two_pi  # [-pi, pi]
+    r2 = r * r
+    s = r * (
+        0.99998459345
+        + r2 * (-0.16663259377
+                + r2 * (0.00831238828
+                        + r2 * (-1.9316269889e-4 + r2 * 2.1732569601e-6)))
+    )
+    c = (
+        0.99999944371
+        + r2 * (-0.49999558229
+                + r2 * (0.04166103352
+                        + r2 * (-1.3862749961e-3
+                                + r2 * (2.4253229889e-5
+                                        - r2 * 2.2194129825e-7))))
+    )
+    return s, c
+
+
 def _tile_log_bias(rois, refs, wt_ref, wb_ref, groups, num_freq):
     """(TN, 4) x (TM, 4) boxes → (g, TN, TM) log position bias, in-register.
 
@@ -86,8 +115,9 @@ def _tile_log_bias(rois, refs, wt_ref, wb_ref, groups, num_freq):
         for c in range(4):
             pr = pos[c][n]  # (TM,)
             args = jnp.stack([pr * s for s in scales], axis=0)  # (F, TM)
-            rows.append(jnp.sin(args))
-            rows.append(jnp.cos(args))
+            sin_a, cos_a = _sincos(args)
+            rows.append(sin_a)
+            rows.append(cos_a)
         S = jnp.concatenate(rows, axis=0)  # (E, TM)
         pw = jax.lax.dot_general(
             wt, S, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
