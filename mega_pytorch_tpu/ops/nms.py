@@ -5,14 +5,24 @@ Python wrapper (mega_core/layers/nms.py). Same greedy semantics: process boxes
 in score order, suppress any box whose IoU with an already-kept box exceeds the
 threshold, using the Detectron +1 area convention (nms.cu `devIoU`).
 
-TPU design — exact greedy via independent-set peeling, not a K-step loop:
-sort by score once, build the (N, N) rank-ordered overlap mask, then peel
-rounds: every still-undecided box with NO higher-ranked undecided overlapper
-is provably kept (its potential suppressors can only be kept boxes, and any
-kept overlapper would already have removed it), and everything a newly-kept
-box overlaps is removed. Each round is one vectorized masked any(); real
-detection data converges in a handful of rounds (`lax.while_loop` runs until
-no box is undecided), instead of `max_outputs` sequential argmax steps.
+TPU design — exact greedy in two layers:
+
+1. *Independent-set peeling* (``_peel``): over score-sorted boxes, build the
+   rank-ordered overlap mask once, then peel rounds — every still-undecided
+   box with NO higher-ranked undecided overlapper is provably kept, and
+   everything a newly-kept box overlaps is removed. Each round is one
+   vectorized masked any(); real data converges in a handful of rounds.
+
+2. *Rank-ordered chunking* (``nms``): for large N the (N, N) matrix is the
+   cost — at the RPN's 6000 pre-NMS candidates it is a 288 MB f32 tensor
+   (measured ~2.3 ms/frame at MEGA shapes, and a data-dependent
+   ``lax.cond`` prefix shortcut is useless under the engines' video-lane
+   vmap, which executes BOTH branches). Instead the single path processes
+   score-ordered chunks: suppress the chunk against the kept-set carried so
+   far (≤ max_outputs boxes), peel within the chunk, append the first
+   free-slot keeps, and stop as soon as max_outputs keeps exist (almost
+   always after one chunk). Exact: greedy suppression only flows from
+   higher-ranked kept boxes, which is precisely the carried set.
 """
 
 from __future__ import annotations
@@ -35,13 +45,99 @@ def _iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(areas[:, None] + areas[None, :] - inter, 1e-12)
 
 
-@functools.partial(jax.jit, static_argnames=("max_outputs",))
+def _cross_iou(a: jnp.ndarray, bset: jnp.ndarray) -> jnp.ndarray:
+    """(C, 4) x (K, 4) → (C, K) IoU, +1 convention."""
+    area_a = (a[:, 2] - a[:, 0] + 1.0) * (a[:, 3] - a[:, 1] + 1.0)
+    area_b = (bset[:, 2] - bset[:, 0] + 1.0) * (bset[:, 3] - bset[:, 1] + 1.0)
+    lt = jnp.maximum(a[:, None, :2], bset[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], bset[None, :, 2:])
+    wh = jnp.clip(rb - lt + 1.0, min=0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-12)
+
+
+def _chunked_keep_mask(b, v, iou_threshold, max_outputs, chunk):
+    """Keep mask over score-sorted (b, v) via rank-ordered chunks.
+
+    Stops as soon as max_outputs keeps exist (the output only reports the
+    first max_outputs anyway); never materializes more than (chunk, chunk)."""
+    n = b.shape[0]
+    k = max_outputs
+    pad = (-n) % chunk
+    if pad:
+        b = jnp.concatenate([b, jnp.ones((pad, 4), b.dtype)], 0)
+        v = jnp.concatenate([v, jnp.zeros(pad, bool)], 0)
+    n_chunks = b.shape[0] // chunk
+    # chunk_has_valid[t]: any valid candidate at or after chunk t
+    chv = v.reshape(n_chunks, chunk).any(axis=1)
+    has_valid_from = jnp.flip(jnp.cumsum(jnp.flip(chv)) > 0)
+
+    def cond(state):
+        t, kept_n, _, _ = state
+        return (t < n_chunks) & (kept_n < k) & has_valid_from[
+            jnp.minimum(t, n_chunks - 1)
+        ]
+
+    def body(state):
+        t, kept_n, kept_boxes, kept_mask = state
+        cb = jax.lax.dynamic_slice(b, (t * chunk, 0), (chunk, 4))
+        cv = jax.lax.dynamic_slice(v, (t * chunk,), (chunk,))
+        # suppress against the carried kept set (sequential-greedy semantics:
+        # suppression only flows from higher-ranked KEPT boxes)
+        slot = jnp.arange(k) < kept_n
+        hit = (_cross_iou(cb, kept_boxes) > iou_threshold) & slot[None, :]
+        cv = cv & ~hit.any(axis=1)
+        ck = _peel(cb, cv, iou_threshold)
+        # append the first free-slot keeps, in rank order
+        pos = jnp.cumsum(ck) - 1 + kept_n
+        take = ck & (pos < k)
+        kept_boxes = kept_boxes.at[jnp.where(take, pos, k)].set(
+            cb, mode="drop"
+        )
+        kept_mask = jax.lax.dynamic_update_slice(kept_mask, take, (t * chunk,))
+        return t + 1, kept_n + take.sum(), kept_boxes, kept_mask
+
+    state = (
+        jnp.array(0),
+        jnp.array(0),
+        jnp.ones((k, 4), b.dtype),
+        jnp.zeros(b.shape[0], bool),
+    )
+    _, _, _, kept_mask = jax.lax.while_loop(cond, body, state)
+    return kept_mask[:n]
+
+
+def _peel(bb, vv, iou_threshold):
+    """Exact greedy keep mask over score-sorted boxes (vv: still-eligible)."""
+    m = bb.shape[0]
+    overlap = _iou_matrix(bb) > iou_threshold
+    rank = jnp.arange(m)
+    # overlap[j, i]: higher-ranked j (j < i) suppresses i when kept
+    overlap = overlap & (rank[:, None] < rank[None, :])
+
+    def cond(state):
+        _, undecided = state
+        return undecided.any()
+
+    def body(state):
+        kept, undecided = state
+        blocked = (undecided[:, None] & overlap).any(axis=0)
+        safe = undecided & ~blocked
+        removed = (safe[:, None] & overlap).any(axis=0)
+        return kept | safe, undecided & ~safe & ~removed
+
+    kept, _ = jax.lax.while_loop(cond, body, (jnp.zeros(m, bool), vv))
+    return kept
+
+
+@functools.partial(jax.jit, static_argnames=("max_outputs", "chunk"))
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     valid: jnp.ndarray,
     iou_threshold: float,
     max_outputs: int,
+    chunk: int = 1024,
 ):
     """Greedy NMS with a static output size.
 
@@ -51,6 +147,7 @@ def nms(
       valid: (N,) bool — padding mask; invalid boxes are never selected.
       iou_threshold: suppress boxes with IoU > threshold w.r.t. a kept box.
       max_outputs: static number of keep slots.
+      chunk: rank-ordered chunk size for large N (see module docstring).
 
     Returns:
       keep_idx: (max_outputs,) int32 indices into the input, score-descending.
@@ -61,43 +158,10 @@ def nms(
     b = boxes[order]
     v = valid[order]
 
-    def peel(bb, vv):
-        """Exact greedy keep mask over score-sorted boxes."""
-        m = bb.shape[0]
-        overlap = _iou_matrix(bb) > iou_threshold
-        rank = jnp.arange(m)
-        # overlap[j, i]: higher-ranked j (j < i) suppresses i when kept
-        overlap = overlap & (rank[:, None] < rank[None, :])
-
-        def cond(state):
-            _, undecided = state
-            return undecided.any()
-
-        def body(state):
-            kept, undecided = state
-            blocked = (undecided[:, None] & overlap).any(axis=0)
-            safe = undecided & ~blocked
-            removed = (safe[:, None] & overlap).any(axis=0)
-            return kept | safe, undecided & ~safe & ~removed
-
-        kept, _ = jax.lax.while_loop(cond, body, (jnp.zeros(m, bool), vv))
-        return kept
-
-    # prefix shortcut: keep decisions within the sorted prefix are final
-    # (suppression only flows from higher-ranked boxes), so when the prefix
-    # already yields >= max_outputs keeps — or contains every valid box —
-    # the full O(N^2) overlap matrix is never needed
-    prefix = min(n, max(4 * max_outputs, 512))
-    if prefix < n:
-        kept_p = peel(b[:prefix], v[:prefix])
-        enough = (kept_p.sum() >= max_outputs) | (~v[prefix:].any())
-        kept = jax.lax.cond(
-            enough,
-            lambda: jnp.concatenate([kept_p, jnp.zeros(n - prefix, bool)]),
-            lambda: peel(b, v),
-        )
+    if n <= max(chunk, 2 * max_outputs):
+        kept = _peel(b, v, iou_threshold)
     else:
-        kept = peel(b, v)
+        kept = _chunked_keep_mask(b, v, iou_threshold, max_outputs, chunk)
 
     # first max_outputs kept boxes in rank (score) order; pad the slots when
     # fewer candidates than keep slots exist (tiny inputs)

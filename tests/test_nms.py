@@ -98,20 +98,55 @@ def test_prefix_shortcut_matches_oracle_large_n():
     np.testing.assert_array_equal(np.asarray(idx), expected)
 
 
-def test_prefix_fallback_when_prefix_underfills():
-    """Top-512 prefix all mutually suppressing → the full pass must run."""
+def test_chunked_path_carries_kept_set_across_chunks():
+    """Dense top-scored cluster fills whole chunks (greedy keeps ~1); later
+    chunks must both contribute keeps AND be suppressed by earlier-chunk
+    kept boxes via the carried kept-set."""
     rng = np.random.RandomState(12)
-    n = 1024
-    # first 600 boxes: one dense cluster (greedy keeps ~1); rest: spread out
-    cluster = np.tile(np.array([[100.0, 100.0, 160.0, 160.0]]), (600, 1))
-    cluster += rng.uniform(-2, 2, (600, 4))
-    spread = _random_boxes(rng, n - 600, span=5000) + 1000
-    boxes = np.concatenate([cluster, spread]).astype(np.float32)
+    n = 1500
+    # 700 near-identical top-scored boxes (span >2 chunks of 256)
+    cluster = np.tile(np.array([[100.0, 100.0, 160.0, 160.0]]), (700, 1))
+    cluster += rng.uniform(-2, 2, (700, 4))
+    # 300 mid-scored copies of the cluster (must be suppressed cross-chunk)
+    echoes = np.tile(np.array([[101.0, 101.0, 161.0, 161.0]]), (300, 1))
+    echoes += rng.uniform(-2, 2, (300, 4))
+    spread = _random_boxes(rng, n - 1000, span=5000) + 1000
+    boxes = np.concatenate([cluster, echoes, spread]).astype(np.float32)
     scores = np.concatenate(
-        [np.linspace(1.0, 0.9, 600), np.linspace(0.5, 0.1, n - 600)]
+        [
+            np.linspace(1.0, 0.9, 700),
+            np.linspace(0.8, 0.7, 300),
+            np.linspace(0.5, 0.1, n - 1000),
+        ]
     ).astype(np.float32)
     expected = np_greedy_nms(boxes, scores, 0.5)[:8]
-    idx, valid = nms(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool), 0.5, 8)
+    idx, valid = nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool), 0.5, 8,
+        chunk=256,
+    )
     got = np.asarray(idx)[np.asarray(valid)]
     np.testing.assert_array_equal(got, expected[: len(got)])
     assert len(got) == len(expected)
+
+
+def test_chunked_matches_single_peel_random():
+    """chunk smaller than N must be output-identical to one big peel."""
+    rng = np.random.RandomState(13)
+    n = 1300
+    boxes = _random_boxes(rng, n, span=400)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = rng.rand(n) > 0.1
+    for thresh in (0.3, 0.5, 0.7):
+        a_idx, a_val = nms(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            thresh, 50, chunk=256,
+        )
+        b_idx, b_val = nms(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+            thresh, 50, chunk=4096,
+        )
+        np.testing.assert_array_equal(np.asarray(a_val), np.asarray(b_val))
+        np.testing.assert_array_equal(
+            np.asarray(a_idx)[np.asarray(a_val)],
+            np.asarray(b_idx)[np.asarray(b_val)],
+        )
