@@ -60,7 +60,11 @@ def make_lockstep_step(model) -> Callable:
         gimages = ImageBatch(
             tensors=normalize_u8_frames(gframes, gsizes), sizes=gsizes
         )
-        entry = model.apply({"params": params}, images, method=M.precompute)
+        # local + global frame through ONE backbone/RPN/res5 pass (identical
+        # per-frame math; keeps the conv pipeline fed)
+        entry, g_pooled, g_valid = model.apply(
+            {"params": params}, images, gimages, method=M.precompute_pair
+        )
         pushed = model.apply(
             {"params": params}, carry, entry, images.sizes[0], method=M.push_carry
         )
@@ -69,7 +73,7 @@ def make_lockstep_step(model) -> Callable:
         )
         carry = _tree_select(reset, fresh, pushed)
         updated = model.apply(
-            {"params": params}, carry, gimages, method=M.update_global
+            {"params": params}, carry, g_pooled, g_valid, method=M.apply_global
         )
         carry = _tree_select(gmask, updated, carry)
         new_carry, dets = model.apply(

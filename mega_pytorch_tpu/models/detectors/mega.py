@@ -245,6 +245,56 @@ class GeneralizedRCNNMEGA(nn.Module):
         pooled = self.extractor.precompute_ref(feats[0], props.boxes[0])
         return pooled, props.valid[0]
 
+    def precompute_pair(self, images: ImageBatch, global_images: ImageBatch):
+        """One local + one global frame through ONE backbone/RPN/res5 pass.
+
+        Identical per-frame math to precompute + precompute_global (batch-2
+        convolutions are per-sample independent); batching the two passes
+        keeps the conv pipeline fed (the steady-state MEGA protocol runs
+        both every frame). Returns (entry, g_pooled, g_valid)."""
+        dt = jnp.dtype(self.c.compute_dtype)
+        both = jnp.concatenate(
+            [images.tensors, global_images.tensors], 0
+        ).astype(dt)
+        feats = self.backbone(both)  # (2, H', W', 1024)
+        objectness, deltas = self.rpn(feats)
+        anchors = self._anchors(feats.shape[1], feats.shape[2])
+        enhanced = self.extractor.enhance_features(feats)
+
+        ref_props = rpn_postprocess(
+            objectness[:1], deltas[:1], anchors, images.sizes, self._ref_sizes()
+        )
+        key_props = rpn_postprocess(
+            objectness[:1], deltas[:1], anchors, images.sizes,
+            self._key_sizes(train=False),
+        )
+        entry = {
+            "rois": ref_props.boxes[0], "roi_valid": ref_props.valid[0],
+            "feats": self.extractor.fc0(
+                self.extractor.pool_flat(enhanced[0], ref_props.boxes[0])
+            ),
+            "key_rois": key_props.boxes[0], "key_valid": key_props.valid[0],
+            "key_feats": self.extractor.fc0(
+                self.extractor.pool_flat(enhanced[0], key_props.boxes[0])
+            ),
+        }
+        g_props = rpn_postprocess(
+            jax.lax.stop_gradient(objectness[1:]),
+            jax.lax.stop_gradient(deltas[1:]),
+            anchors, global_images.sizes, self._ref_sizes(),
+        )
+        g_pooled = self.extractor.fc0(
+            self.extractor.pool_flat(enhanced[1], g_props.boxes[0])
+        )
+        return entry, g_pooled, g_props.valid[0]
+
+    def apply_global(self, carry: "MEGACarry", pooled, valid) -> "MEGACarry":
+        """Push precomputed global-frame features into the global cache."""
+        return carry._replace(
+            g_feats=_push(carry.g_feats, pooled),
+            g_valid=_push(carry.g_valid, valid),
+        )
+
     def init_carry(self, entry, size) -> MEGACarry:
         t = self.v.all_frame_interval
         s = self.v.memory_size
@@ -348,6 +398,14 @@ class GeneralizedRCNNMEGA(nn.Module):
     def test_step(self, carry: MEGACarry, images: ImageBatch, global_images=None):
         """Steady state: push one local frame (+ optionally one global frame),
         then detect at the key slot."""
+        if (
+            global_images is not None
+            and global_images.tensors.shape == images.tensors.shape
+        ):
+            entry, g_pooled, g_valid = self.precompute_pair(images, global_images)
+            carry = self.push_carry(carry, entry, images.sizes[0])
+            carry = self.apply_global(carry, g_pooled, g_valid)
+            return self.detect_key(carry)
         entry = self.precompute(images)
         carry = self.push_carry(carry, entry, images.sizes[0])
         if global_images is not None:
