@@ -8,15 +8,17 @@ reference; RelationAttention here) computes, per stage,
     soft = softmax_m(mask(aff))
     out  = soft · V                                          # V pre-projected
 
-At MEGA streaming shapes (N=300, M≈3750, g=16) the (g, N, M) logits tensor is
-~72 MB; materializing it and running the softmax over HBM dominates the XLA
-pipeline. This kernel streams K/V/bias tiles through VMEM with an online
-softmax (running max / running sum — the flash-attention recurrence), so the
-logits never exist in HBM. The position bias stays an XLA-computed input
-(XLA fuses its sinusoid contraction well; it is read once here instead of
-the logits' three round-trips). An in-kernel bias mode (geometry → sinusoids
-→ Wg → log per tile, "compute") also exists — measured slower on v5e (the Wg
-contraction degenerates to a scalar-FMA VPU loop), kept for experimentation.
+At MEGA streaming shapes (N=675, M≈3750, g=16) the (g, N, M) logits and bias
+tensors are ~160 MB each; materializing them and running the softmax over
+HBM dominates the XLA pipeline. This kernel streams K/V tiles through VMEM
+with an online softmax (running max / running sum — the flash-attention
+recurrence) and, in the PRODUCTION "compute" mode, evaluates the position
+bias per tile (geometry → polynomial sinusoids → per-query-row MXU Wg
+contraction; see _tile_log_bias / _sincos), so neither the logits nor the
+bias ever exist in HBM. Measured on v5e at stage-0 shapes: 2.15 ms vs
+6.74 ms for the XLA-bias + input-bias-flash pair. The "input" mode (bias as
+a precomputed operand) remains for the no-position global-attention path
+and as the comparison baseline.
 
 Batching: the streaming engines vmap the whole per-frame step over video
 lanes, so the kernel supports an explicit leading lane dimension (grid =
