@@ -26,9 +26,10 @@ Usage (real numbers need the TPU chip):
     python tools/bench_eval_path.py                  # MEGA R-101, 608x1024
     python tools/bench_eval_path.py --depth R-14 --canvas 128 160  # smoke
 
-Measured 2026-08-17 (v5e via the axon relay, 4 lanes, 608x1024):
-  device_fps 66.95 vs bench.py 66.23 — the engine's compiled per-step graph
-  IS the benchmark graph (<1.1% apart). product_step_fps measured 6.39
+Measured 2026-08-17 (v5e via the axon relay, 4 lanes, 608x1024, final
+round-2 kernels):
+  device_fps 94.27 vs bench.py 93.79 — the engine's compiled per-step graph
+  IS the benchmark graph (<0.6% apart). product_step_fps measured 8.31
   through the relay: every frame crosses a tunneled network link
   (~30 ms/dispatch; uint8 frames, ~15 MB/step at 4 lanes), which serializes
   transfers against compute. On real TPU hosts frames arrive over local
