@@ -71,6 +71,8 @@ def calc_voc_prec_rec(gt_list, pred_list, iou_thresh: float = 0.5):
                 else:
                     match[l].append(0)
 
+    if not n_pos:  # no labels anywhere: empty gt and empty predictions
+        return [], []
     n_fg = max(n_pos.keys()) + 1
     prec = [None] * n_fg
     rec = [None] * n_fg

@@ -175,3 +175,41 @@ def test_dispatch_by_dataset_family():
     assert "map" in r and r["map"] == pytest.approx(1.0)
     r2 = evaluate(ds, preds, box_only=True)
     assert r2["recall"] == pytest.approx(1.0)
+
+
+# -- advisor-r2 regressions ----------------------------------------------------
+
+def test_voc_empty_gt_and_predictions():
+    """No labels anywhere → NaN mAP, not ValueError (advisor r2, voc_eval)."""
+    gt = [_gt(np.zeros((0, 4)), np.zeros((0,), np.int64))]
+    pred = [_pred(np.zeros((0, 4)), np.zeros((0,), np.int64), np.zeros((0,)))]
+    r = eval_detection_voc(gt, pred)
+    assert np.isnan(r["map"]) and len(r["ap"]) == 0
+
+
+def test_write_result_all_shapes(tmp_path):
+    """result.txt/json writer handles VID/COCO/VOC/box-only shapes
+    (advisor r2, tools/test_net.py)."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    from test_net import write_result
+
+    shapes = {
+        "vid": ({"all": {"map": 0.5, "ap": np.arange(3.0)},
+                 "fast": {"map": 0.25, "ap": np.arange(3.0)}}, False),
+        "coco": ({"AP": 0.3, "AP50": 0.5, "AP75": np.float64(0.2),
+                  "per_class": np.arange(4.0)}, False),
+        "voc": ({"ap": np.array([np.nan, 1.0]), "map": 1.0}, False),
+        "box_only": ({"recall": 0.9, "gt_overlaps": np.arange(5.0)}, True),
+    }
+    for name, (result, box_only) in shapes.items():
+        out = tmp_path / name
+        out.mkdir()
+        write_result(result, str(out), box_only=box_only)
+        txt = (out / "result.txt").read_text()
+        assert txt.strip(), name
+        loaded = json.loads((out / "result.json").read_text())
+        assert set(loaded) == set(result), name

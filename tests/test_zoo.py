@@ -335,3 +335,25 @@ def test_fbnet_rpn_head_groups():
             lambda m=head: m.init_with_output(jax.random.PRNGKey(0), x)[0]
         )
         assert shape.shape == (1, 8, 8, out_c), arch
+
+
+def test_fbnet_mask_stage_upsample():
+    """Negative-stride mask stages decode as 2x upsample blocks
+    (fbnet_builder.py upsample semantics; advisor r2 regression)."""
+    import jax
+
+    from mega_pytorch_tpu.models.backbone.fbnet import MODEL_ARCH, FBNetTrunk
+
+    for arch, out_c in [("default", 80), ("xirb16d_dsmask", 64)]:
+        spec = MODEL_ARCH[arch]
+        assert any(
+            s < 0 for i in spec["mask"] for (_, _, _, s) in spec["stages"][i]
+        ), arch
+        trunk = FBNetTrunk(arch=arch)
+        m = FBNetTrunk(arch=arch, stage_group="mask", in_channels=trunk.out_channels)
+        x = jnp.zeros((1, 8, 8, trunk.out_channels), jnp.float32)
+        shape = jax.eval_shape(
+            lambda mm=m, xx=x: mm.init_with_output(jax.random.PRNGKey(0), xx)[0]
+        )
+        assert shape.shape[1] > 8, (arch, shape.shape)  # net upsample happened
+        assert shape.shape[-1] == out_c, (arch, shape.shape)

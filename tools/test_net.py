@@ -134,9 +134,45 @@ def main():
         result = evaluate_predictions(
             dataset, preds, args.motion_iou_file, logger, box_only=args.box_only
         )
-        with open(os.path.join(args.output_dir, "result.txt"), "w") as f:
-            for mname, r in result.items():
-                f.write(f"AP50 | motion={mname:>6s} = {r['map']:.4f}\n")
+        write_result(result, args.output_dir, box_only=args.box_only)
+
+
+def write_result(result: dict, output_dir: str, box_only: bool = False) -> None:
+    """Serialize an evaluation result, whatever its family shape.
+
+    Four shapes reach here (data/evaluation/__init__.py): VID nested
+    {bucket: {'map': float, 'ap': ndarray}}, COCO {'AP': float, ...},
+    VOC {'map': float, 'ap': ndarray}, box_only {'recall': float,
+    'gt_overlaps': ndarray, ...}. result.txt gets human-readable summary
+    lines; result.json gets the full dict with ndarrays as lists (the
+    reference writes bucket lines only, vid_eval.py:64-67).
+    """
+    import json
+
+    lines = []
+    if box_only:
+        lines.append(f"Proposal recall = {float(result['recall']):.4f}")
+    elif result and all(isinstance(v, dict) for v in result.values()):
+        for mname, r in result.items():  # VID motion buckets
+            lines.append(f"AP50 | motion={mname:>6s} = {float(r['map']):.4f}")
+    else:
+        for key in ("AP", "AP50", "AP75", "APs", "APm", "APl", "map"):
+            if key in result and np.isscalar(result[key]):
+                lines.append(f"{key} = {float(result[key]):.4f}")
+
+    def _to_jsonable(obj):
+        if isinstance(obj, dict):
+            return {k: _to_jsonable(v) for k, v in obj.items()}
+        if isinstance(obj, np.ndarray):
+            return obj.tolist()
+        if isinstance(obj, (np.floating, np.integer)):
+            return obj.item()
+        return obj
+
+    with open(os.path.join(output_dir, "result.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    with open(os.path.join(output_dir, "result.json"), "w") as f:
+        json.dump(_to_jsonable(result), f, indent=1)
 
 
 if __name__ == "__main__":
