@@ -149,11 +149,11 @@ def compute_on_dataset(
 ) -> dict:
     """Run streaming inference over `indices` (whole videos, ascending).
 
-    lanes > 1 (mega only): vmapped lockstep multi-video streaming — the
-    benchmark configuration — instead of one serial video at a time.
+    lanes > 1 (any streaming method): vmapped lockstep multi-video streaming
+    — the benchmark configuration — instead of one serial video at a time.
 
     Returns {dataset_idx: prediction dict in original image coords}."""
-    if lanes > 1 and method == "mega":
+    if lanes > 1 and method in ("mega", "rdn", "fgfa", "dff"):
         from .batched_inference import compute_on_dataset_lockstep
 
         return compute_on_dataset_lockstep(

@@ -3,12 +3,15 @@
 The reference warps key-frame feature maps along predicted optical flow via
 ``F.grid_sample(feats, grid, mode="bilinear", padding_mode="border")``
 (mega_core/modeling/detector/generalized_rcnn_fgfa.py:45-62, and the identical
-DFF path in generalized_rcnn_dff.py:42-59). On TPU we implement the absolute-
-coordinate sampler directly: the reference builds its grid as
-``(flow + identity)`` normalized to [-1, 1], which is exactly "sample source at
-(x + flow_x, y + flow_y)" — so we skip the normalization round-trip and gather
-with border clamping. XLA lowers the one-hot matmul formulation to efficient
-code; gathers stay O(H·W).
+DFF path in generalized_rcnn_dff.py:42-59). The grid is built as
+``(flow + identity) / ((size-1)/2) - 1`` and grid_sample is called WITHOUT
+``align_corners`` — under the reference's pinned torch 1.3 (INSTALL.md) that
+means ``align_corners=False``, whose unnormalization is
+``x = (u + 1) * W / 2 - 0.5``. Composing the two gives the actual sample
+coordinate ``x_src = (x + flow_x) * W / (W-1) - 0.5`` (NOT the intuitive
+``x + flow_x`` of the pre-1.3 align_corners=True default — execution parity
+against live mega_core pinned this down). We implement that absolute-coordinate
+sampler directly with border clamping; XLA keeps the gathers O(H·W).
 """
 
 from __future__ import annotations
@@ -17,12 +20,13 @@ import jax.numpy as jnp
 
 
 def warp_by_flow(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Backward-warp ``features`` by ``flow``.
+    """Backward-warp ``features`` by ``flow`` (grid_sample a_c=False semantics).
 
     Args:
       features: (H, W, C).
       flow: (H, W, 2) — (dx, dy) displacement in pixels; output[y, x] samples
-            features at (x + dx, y + dy), border-clamped bilinear.
+            features at ((x+dx)·W/(W−1) − ½, (y+dy)·H/(H−1) − ½),
+            border-clamped bilinear (see module docstring).
 
     Returns:
       (H, W, C) warped features.
@@ -31,8 +35,8 @@ def warp_by_flow(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     ys = jnp.arange(h, dtype=jnp.float32)
     xs = jnp.arange(w, dtype=jnp.float32)
     grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")
-    src_x = grid_x + flow[..., 0]
-    src_y = grid_y + flow[..., 1]
+    src_x = (grid_x + flow[..., 0]) * (w / (w - 1.0)) - 0.5
+    src_y = (grid_y + flow[..., 1]) * (h / (h - 1.0)) - 0.5
 
     # padding_mode="border": clamp sample coords into the image
     src_x = jnp.clip(src_x, 0.0, w - 1.0)

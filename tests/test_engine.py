@@ -418,3 +418,107 @@ def test_lockstep_matches_serial_streaming(tiny_root):
             s["boxes"][so], l["boxes"][lo], atol=0.2, err_msg=str(i)
         )
         np.testing.assert_array_equal(s["labels"][so], l["labels"][lo], err_msg=str(i))
+
+
+# -- lockstep equality for the other streaming methods (VERDICT r2 #7) --------
+
+def _compare_serial_lockstep(serial, lockstep, indices):
+    assert sorted(serial) == sorted(lockstep)
+    for i in indices:
+        s, l = serial[i], lockstep[i]
+        assert len(s["boxes"]) == len(l["boxes"]), i
+        if not len(s["boxes"]):
+            continue
+        so, lo = np.argsort(-s["scores"]), np.argsort(-l["scores"])
+        np.testing.assert_allclose(
+            s["scores"][so], l["scores"][lo], atol=1e-3, err_msg=str(i)
+        )
+        np.testing.assert_allclose(
+            s["boxes"][so], l["boxes"][lo], atol=0.2, err_msg=str(i)
+        )
+        np.testing.assert_array_equal(s["labels"][so], l["labels"][lo], err_msg=str(i))
+
+
+def _windowed_params(model):
+    from mega_pytorch_tpu.structures.image_list import ImageBatch
+
+    one = ImageBatch(
+        tensors=np.zeros((1, 48, 64, 3), np.float32),
+        sizes=np.array([[48.0, 64.0]], np.float32),
+    )
+    tmp = model.init(jax.random.PRNGKey(0), one, method=model.precompute)["params"]
+    entry = model.apply({"params": tmp}, one, method=model.precompute)
+    carry = model.apply({"params": tmp}, entry, one.sizes[0], method=model.init_carry)
+    return model.init(
+        jax.random.PRNGKey(0), carry, one, method=model.test_step
+    )["params"]
+
+
+def test_lockstep_matches_serial_rdn(tiny_root):
+    from mega_pytorch_tpu.data.datasets.vid import VIDRDNDataset
+    from mega_pytorch_tpu.models.detectors.rdn import GeneralizedRCNNRDN
+
+    v = VidConfig(method="rdn", base_stage=2, advanced_stage=0,
+                  all_frame_interval=3, key_frame_location=1)
+    model = GeneralizedRCNNRDN(c=TINY_C, v=v)
+    ds = _dataset(tiny_root, VIDRDNDataset, is_train=False, max_offset=1)
+    prep = EvalPreprocessor(**_prep_kwargs())
+    params = _windowed_params(model)
+
+    indices = list(range(len(ds)))
+    serial = compute_on_dataset(model, params, ds, indices, prep, "rdn")
+    lockstep = compute_on_dataset(model, params, ds, indices, prep, "rdn", lanes=2)
+    _compare_serial_lockstep(serial, lockstep, indices)
+
+
+def test_lockstep_matches_serial_fgfa(tiny_root):
+    from mega_pytorch_tpu.data.datasets.vid import VIDFGFADataset
+    from mega_pytorch_tpu.models.detectors.fgfa import GeneralizedRCNNFGFA
+
+    v = VidConfig(method="fgfa", all_frame_interval=3, key_frame_location=1)
+    model = GeneralizedRCNNFGFA(c=TINY_C, v=v)
+    ds = _dataset(tiny_root, VIDFGFADataset, is_train=False, max_offset=1)
+    prep = EvalPreprocessor(**_prep_kwargs())
+    params = _windowed_params(model)
+
+    indices = list(range(len(ds)))
+    serial = compute_on_dataset(model, params, ds, indices, prep, "fgfa")
+    lockstep = compute_on_dataset(model, params, ds, indices, prep, "fgfa", lanes=2)
+    _compare_serial_lockstep(serial, lockstep, indices)
+
+
+def test_lockstep_matches_serial_dff(tiny_root):
+    """Phase-aligned DFF lanes: key interval 2 exercises both jitted steps
+    and the video-start alignment padding."""
+    from mega_pytorch_tpu.data.datasets.vid import VIDDFFDataset
+    from mega_pytorch_tpu.models.detectors.dff import GeneralizedRCNNDFF
+    from mega_pytorch_tpu.structures.image_list import ImageBatch
+
+    model = GeneralizedRCNNDFF(c=TINY_C, v=VidConfig(method="dff"))
+    ds = _dataset(tiny_root, VIDDFFDataset, is_train=False, key_interval=2)
+    prep = EvalPreprocessor(**_prep_kwargs())
+
+    one = ImageBatch(
+        tensors=np.zeros((1, 48, 64, 3), np.float32),
+        sizes=np.array([[48.0, 64.0]], np.float32),
+    )
+    tmp = model.init(jax.random.PRNGKey(0), one, method=model.make_key)["params"]
+    carry = model.apply({"params": tmp}, one, method=model.make_key)
+    det_init = model.init(
+        jax.random.PRNGKey(0), carry, one, method=model.detect_non_key
+    )["params"]
+
+    def merge(a, b):
+        if not isinstance(a, dict):
+            return a
+        out = dict(b)
+        for k, vv in a.items():
+            out[k] = merge(vv, b[k]) if k in b else vv
+        return out
+
+    params = merge(tmp, det_init)
+
+    indices = list(range(len(ds)))
+    serial = compute_on_dataset(model, params, ds, indices, prep, "dff")
+    lockstep = compute_on_dataset(model, params, ds, indices, prep, "dff", lanes=2)
+    _compare_serial_lockstep(serial, lockstep, indices)

@@ -21,8 +21,10 @@ def torch_warp(feat_hwc: np.ndarray, flow_hw2: np.ndarray) -> np.ndarray:
     grid_dst = torch.stack((xs, ys))[None]
     workspace = torch.tensor([(w - 1) / 2, (h - 1) / 2]).view(1, 2, 1, 1)
     grid = ((flow + grid_dst) / workspace - 1).permute(0, 2, 3, 1)
+    # no align_corners arg in the reference call; under its pinned torch 1.3
+    # that resolves to False (the post-1.3 default) — see ops/warp.py docstring
     out = F.grid_sample(
-        feats, grid, mode="bilinear", padding_mode="border", align_corners=True
+        feats, grid, mode="bilinear", padding_mode="border", align_corners=False
     )
     return out[0].permute(1, 2, 0).numpy()
 
@@ -36,11 +38,16 @@ def test_warp_matches_grid_sample():
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
 
 
-def test_warp_zero_flow_is_identity():
+def test_warp_zero_flow_matches_torch():
+    """align_corners=False means zero flow is NOT exact identity in the
+    interior (coords rescale by W/(W-1) then shift -0.5); corners stay exact.
+    Match torch's own zero-flow result."""
     rng = np.random.RandomState(1)
     feat = rng.randn(8, 8, 3).astype(np.float32)
-    got = np.asarray(warp_by_flow(jnp.asarray(feat), jnp.zeros((8, 8, 2))))
-    np.testing.assert_allclose(got, feat, rtol=1e-5)
+    flow = np.zeros((8, 8, 2), np.float32)
+    got = np.asarray(warp_by_flow(jnp.asarray(feat), jnp.asarray(flow)))
+    np.testing.assert_allclose(got, torch_warp(feat, flow), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got[0, 0], feat[0, 0], rtol=1e-5)
 
 
 def test_smooth_l1_matches_reference_math():
