@@ -307,8 +307,16 @@ def compute_on_dataset_lockstep(
             for b in bins
         ]
 
+        # lane items decode in parallel (PIL decode/resize release the GIL;
+        # per-core throughput is ~37 fps at 608x1024 and MEGA needs 2 decodes
+        # per frame, so a serial producer caps at ~18 fps while the device
+        # sustains ~94 — see tools/bench_host_feed.py)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=min(16, 2 * n_lanes))
+
         def assemble():
-            items = [next(f) for f in feeds]
+            items = list(pool.map(next, feeds))
             out = dict(
                 frames=np.stack([it["frame"] for it in items])[:, None],
                 sizes=np.stack([it["size"] for it in items])[:, None],
@@ -489,9 +497,12 @@ def _lockstep_dff(
         n_lanes = len(bins)
         feeds = [iter(_DFFLaneFeed(dataset, preprocessor, b, key_int))
                  for b in bins]
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=min(16, 2 * n_lanes))
 
         def assemble():
-            items = [next(f) for f in feeds]
+            items = list(pool.map(next, feeds))
             return dict(
                 frames=np.stack([it["frame"] for it in items])[:, None],
                 sizes=np.stack([it["size"] for it in items])[:, None],

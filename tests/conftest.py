@@ -32,3 +32,49 @@ from mega_pytorch_tpu.utils.misc import setup_compilation_cache  # noqa: E402
 setup_compilation_cache(
     os.path.join(os.path.dirname(__file__), "..", ".cache", "jax_cache")
 )
+
+
+# -- shared synthetic dataset fixture -----------------------------------------
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def _xml(path, h, w, objs):
+    items = "".join(
+        f"<object><name>{wnid}</name><bndbox>"
+        f"<xmin>{x1}</xmin><ymin>{y1}</ymin><xmax>{x2}</xmax><ymax>{y2}</ymax>"
+        f"</bndbox></object>"
+        for (wnid, x1, y1, x2, y2) in objs
+    )
+    path.write_text(
+        f"<annotation><size><height>{h}</height><width>{w}</width></size>"
+        f"{items}</annotation>"
+    )
+
+
+@pytest.fixture(scope="session")
+def tiny_root(tmp_path_factory):
+    """2-video, 5-frame synthetic ILSVRC-VID layout with a bright moving box."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("vid")
+    img_dir = root / "Data" / "VID"
+    anno_dir = root / "Annotations" / "VID"
+    lines = []
+    rng = np.random.RandomState(0)
+    for v in range(2):
+        folder = f"val/v{v:02d}"
+        (img_dir / folder).mkdir(parents=True)
+        (anno_dir / folder).mkdir(parents=True)
+        for f in range(5):
+            arr = (rng.rand(48, 64, 3) * 60).astype(np.uint8)
+            x = 8 + 2 * f
+            arr[12:36, x : x + 20] = 220  # bright moving box
+            Image.fromarray(arr).save(img_dir / folder / f"{f:06d}.JPEG")
+            _xml(anno_dir / folder / f"{f:06d}.xml", 48, 64,
+                 [("n02691156", x, 12, x + 19, 35)])
+            lines.append(f"{folder} {5 * v + f + 1} {f} 5")
+    (root / "ImageSets").mkdir()
+    (root / "ImageSets" / "val.txt").write_text("\n".join(lines) + "\n")
+    return root
