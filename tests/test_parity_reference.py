@@ -41,10 +41,16 @@ PRE_NMS, POST_NMS, DETS = 500, 50, 2000
 
 def match_detections(ref, ours, box_atol=1.0, score_atol=2e-3):
     """Greedy one-to-one match; returns (n_matched, n_ref, n_ours, box_err)."""
+    matched, box_err, _, _ = _match_detail(ref, ours, box_atol, score_atol)
+    return matched, len(ref[0]), len(ours[0]), box_err
+
+
+def _match_detail(ref, ours, box_atol=1.0, score_atol=2e-3):
     r_boxes, r_scores, r_labels = ref
     o_boxes, o_scores, o_labels = ours
     used = np.zeros(len(o_boxes), bool)
     matched, box_err = 0, 0.0
+    unmatched = []
     order = np.argsort(-r_scores)
     for i in order:
         cand = np.where(
@@ -52,15 +58,90 @@ def match_detections(ref, ours, box_atol=1.0, score_atol=2e-3):
             & ~used
             & (np.abs(o_scores - r_scores[i]) < score_atol)
         )[0]
-        if len(cand) == 0:
-            continue
-        dists = np.abs(r_boxes[i] - o_boxes[cand]).max(axis=1)
-        j = np.argmin(dists)
-        if dists[j] <= box_atol:
+        j = -1
+        if len(cand):
+            dists = np.abs(r_boxes[i] - o_boxes[cand]).max(axis=1)
+            j = int(np.argmin(dists))
+            if dists[j] > box_atol:
+                j = -1
+        if j >= 0:
             used[cand[j]] = True
             matched += 1
             box_err = max(box_err, float(dists[j]))
-    return matched, len(r_boxes), len(o_boxes), box_err
+        else:
+            unmatched.append(int(i))
+    return matched, box_err, unmatched, used
+
+
+def _np_box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(N,4)x(M,4) IoU, TO_REMOVE=1 convention (boxlist_ops.py:84)."""
+    area_a = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
+    area_b = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt + 1, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / np.maximum(area_a[:, None] + area_b[None, :] - inter, 1e-9)
+
+
+def classify_unmatched(ref, ours, unmatched, used, nms_thresh=0.5,
+                       score_loose=0.02):
+    """Root-cause each unmatched reference detection (VERDICT r2 next #4).
+
+    Categories (all benign, bounded float-noise effects):
+      score-noise   — an unused counterpart exists at the same box/label but
+                      the scores differ by more than the strict 2e-3 (and
+                      less than `score_loose`): fp accumulation drift.
+      nms-tiebreak  — a MATCHED detection of the same label overlaps this one
+                      above the NMS threshold: the two stacks kept different
+                      members of a suppression cluster (tie within noise).
+      tie-cluster   — the score belongs to an EXACT multi-member tie (e.g.
+                      the 210-strong uniform-softmax 1/31 cluster of
+                      degenerate edge-clipped boxes that random-weight
+                      models emit) and both stacks carry equal-sized
+                      clusters: which members survive per-class NMS is
+                      sort-stability-arbitrary, and equal scores occupy the
+                      same AP rank block, so membership cannot move AP.
+      topk-boundary — the detection sits in the bottom 2% of the reference's
+                      score ranking: a candidate that fell on the other side
+                      of a top-k/score-threshold cut.
+      DRIFT         — none of the above: a real systematic divergence.
+    """
+    r_boxes, r_scores, r_labels = ref
+    o_boxes, o_scores, o_labels = ours
+    counts = {"score-noise": 0, "nms-tiebreak": 0, "tie-cluster": 0,
+              "topk-boundary": 0, "DRIFT": []}
+    rank = np.empty(len(r_scores), int)
+    rank[np.argsort(-r_scores)] = np.arange(len(r_scores))
+    for i in unmatched:
+        same = (o_labels == r_labels[i]) & ~used
+        if same.any():
+            d = np.abs(r_boxes[i] - o_boxes[same]).max(axis=1)
+            s = np.abs(r_scores[i] - o_scores[same])
+            if ((d <= 1.0) & (s < score_loose)).any():
+                counts["score-noise"] += 1
+                continue
+        kept_same = (o_labels == r_labels[i]) & used
+        if kept_same.any():
+            iou = _np_box_iou(r_boxes[i][None], o_boxes[kept_same])[0]
+            if (iou > nms_thresh).any():
+                counts["nms-tiebreak"] += 1
+                continue
+        ties_r = int(np.sum(np.abs(r_scores - r_scores[i]) < 1e-6))
+        ties_o = int(np.sum(np.abs(o_scores - r_scores[i]) < 1e-6))
+        if ties_r >= 2 and ties_o >= ties_r - 2:
+            counts["tie-cluster"] += 1
+            continue
+        if rank[i] >= 0.98 * len(r_scores) or r_scores[i] <= np.percentile(
+            r_scores, 2
+        ):
+            counts["topk-boundary"] += 1
+            continue
+        counts["DRIFT"].append(
+            dict(box=r_boxes[i].tolist(), score=float(r_scores[i]),
+                 label=int(r_labels[i]), rank=int(rank[i]))
+        )
+    return counts
 
 
 def _ref_base_model(seed=0):
@@ -156,15 +237,20 @@ def test_base_model_parity_single_frame():
     o_scores = np.asarray(det.scores[0])[v]
     o_labels = np.asarray(det.labels[0])[v]
 
-    matched, n_ref, n_ours, box_err = match_detections(
-        (r_boxes, r_scores, r_labels), (o_boxes, o_scores, o_labels)
-    )
+    ref = (r_boxes, r_scores, r_labels)
+    ours = (o_boxes, o_scores, o_labels)
+    matched, box_err, unmatched, used = _match_detail(ref, ours)
+    n_ref, n_ours = len(r_boxes), len(o_boxes)
     assert n_ref > 50, "degenerate test: reference produced almost no detections"
-    # near-total agreement; the residual is top-k boundary noise between
-    # backends (scores within float error of each other swapping ranks)
     assert matched >= 0.98 * n_ref, (matched, n_ref, n_ours)
     assert abs(n_ours - n_ref) <= max(2, 0.02 * n_ref), (n_ref, n_ours)
     assert box_err < 0.5, box_err  # pixels, on matched pairs
+    # residual diagnosis: every unmatched detection must classify as benign
+    # float noise; zero unexplained drift, ≥99.5% matched+explained
+    cls = classify_unmatched(ref, ours, unmatched, used)
+    assert not cls["DRIFT"], cls
+    explained = sum(v for k, v in cls.items() if k != "DRIFT")
+    assert matched + explained >= 0.995 * n_ref, (matched, cls, n_ref)
 
 
 # -- MEGA streaming parity ------------------------------------------------------
@@ -440,12 +526,21 @@ def _ingest_by_init(ref_model, init):
 
 
 def _assert_frames_match(ref_outs, our_outs, min_ref=10):
+    """Strict-match ≥97%, every residual ROOT-CAUSED as benign float noise
+    (score-noise / NMS tie-break / top-k boundary), zero unexplained drift,
+    and matched+explained ≥ 99.5% (VERDICT r2 next #4: thresholds tightened
+    after classification replaced the old 'boundary noise' assumption)."""
     for f, (ref, ours) in enumerate(zip(ref_outs, our_outs)):
-        matched, n_ref, n_ours, box_err = match_detections(ref, ours)
+        matched, box_err, unmatched, used = _match_detail(ref, ours)
+        n_ref, n_ours = len(ref[0]), len(ours[0])
         assert n_ref > min_ref, (f, n_ref)
         assert matched >= 0.97 * n_ref, (f, matched, n_ref, n_ours)
         assert abs(n_ours - n_ref) <= max(2, 0.03 * n_ref), (f, n_ref, n_ours)
         assert box_err < 1.0, (f, box_err)
+        cls = classify_unmatched(ref, ours, unmatched, used)
+        assert not cls["DRIFT"], (f, cls)
+        explained = sum(v for k, v in cls.items() if k != "DRIFT")
+        assert matched + explained >= 0.995 * n_ref, (f, matched, cls, n_ref)
 
 
 def _extract_dets(dets):
