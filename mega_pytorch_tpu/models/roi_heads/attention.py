@@ -113,9 +113,16 @@ class RelationAttention(nn.Module):
         ref_valid: jnp.ndarray | None = None,
         pos_rois: tuple | None = None,
         pos_emb: jnp.ndarray | None = None,
+        precise_bias: bool = False,
     ) -> jnp.ndarray:
         """roi_feat (N, D), ref_feat (M, D), ref_valid (M,),
-        pos_rois = (cur_rois (N, 4), ref_rois (M, 4)) or pos_emb (N, M, E)."""
+        pos_rois = (cur_rois (N, 4), ref_rois (M, 4)) or pos_emb (N, M, E).
+
+        precise_bias: compute the position-bias sinusoid contraction in fp32.
+        REQUIRED on paths that will be differentiated (training): the bf16
+        inference default corrupts d bias/dWg at the relu boundary (see
+        reference_position_bias docstring) while leaving forward values, and
+        hence losses, untouched."""
         g = self.groups
         d = self.feat_dim // g
         dt = self.dtype
@@ -153,6 +160,7 @@ class RelationAttention(nn.Module):
                 log_bias = reference_position_bias(
                     pos_rois[0], pos_rois[1], wg["kernel"], wg["bias"],
                     self.embed_dim,
+                    sin_dtype=jnp.float32 if precise_bias else jnp.bfloat16,
                 )
             else:
                 assert pos_emb is not None

@@ -158,11 +158,14 @@ class MEGAFeatureExtractor(nn.Module):
         cur_feats: jnp.ndarray,
         refs: RefSet,
         last: bool,
+        precise: bool = False,
     ) -> jnp.ndarray:
         """One local/memory stage (_forward_*_single): attention + residual
-        (+ next-stage fc unless last)."""
+        (+ next-stage fc unless last). precise=True on differentiated (train)
+        paths — fp32 position-bias contraction, see RelationAttention."""
         att = self.l_attn[i](
-            cur_feats, refs.feats, refs.valid, pos_rois=(cur_rois, refs.rois)
+            cur_feats, refs.feats, refs.valid, pos_rois=(cur_rois, refs.rois),
+            precise_bias=precise,
         )
         feats = cur_feats + att
         if not last:
@@ -211,7 +214,9 @@ class MEGAFeatureExtractor(nn.Module):
         mem: list[RefSet] = [RefSet(m_rois_flat, x_m, m_val_flat)]
         feats = x_m_dis
         for i in range(self.stage - 1):
-            feats = self._local_attend(i, m_rois_dis, feats, mem[i], last=False)
+            feats = self._local_attend(
+                i, m_rois_dis, feats, mem[i], last=False, precise=True
+            )
             mem.append(RefSet(m_rois_dis, feats, m_val_dis))
         mem = [
             RefSet(r.rois, jax.lax.stop_gradient(r.feats), r.valid) for r in mem
@@ -250,7 +255,9 @@ class MEGAFeatureExtractor(nn.Module):
                 cur_rois = key_rois
                 feats = feats[:n_key]
             refs = cat_refs(refs, mem[i])
-            feats = self._local_attend(i, cur_rois, feats, refs, last=last)
+            feats = self._local_attend(
+                i, cur_rois, feats, refs, last=last, precise=True
+            )
 
         x = feats
         # 5. global residual stages (:880-881)

@@ -113,6 +113,7 @@ class RDNFeatureExtractor(nn.Module):
         ref_rois: jnp.ndarray,
         ref_valid: jnp.ndarray,
         skip_first_fc: bool = False,
+        precise: bool = False,
     ) -> jnp.ndarray:
         """Base attention stages + optional advanced distillation stage.
 
@@ -125,7 +126,10 @@ class RDNFeatureExtractor(nn.Module):
         for i in range(self.base_stage):
             if not (skip_first_fc and i == 0):
                 x = nn.relu(self.fcs[i](x.astype(self.dtype)).astype(jnp.float32))
-            x = x + self.attn[i](x, x_refs, ref_valid, pos_rois=(cur_rois, ref_rois))
+            x = x + self.attn[i](
+                x, x_refs, ref_valid, pos_rois=(cur_rois, ref_rois),
+                precise_bias=precise,
+            )
 
         if self.advanced_stage > 0:
             t = x_refs.shape[0] // self.base_num
@@ -143,13 +147,15 @@ class RDNFeatureExtractor(nn.Module):
             for i in range(self.advanced_stage):
                 j = self.base_stage + i
                 att = self.attn[j](
-                    refs_adv, x_refs, ref_valid, pos_rois=(rois_adv, ref_rois)
+                    refs_adv, x_refs, ref_valid, pos_rois=(rois_adv, ref_rois),
+                    precise_bias=precise,
                 )
                 refs_adv = nn.relu(
                     self.fcs[j]((refs_adv + att).astype(self.dtype)).astype(jnp.float32)
                 )
             x = x + self.attn[self.base_stage + self.advanced_stage](
-                x, refs_adv, valid_adv, pos_rois=(cur_rois, rois_adv)
+                x, refs_adv, valid_adv, pos_rois=(cur_rois, rois_adv),
+                precise_bias=precise,
             )
         return x
 
@@ -172,6 +178,7 @@ class RDNFeatureExtractor(nn.Module):
             key_rois,
             ref_rois.reshape(f * self.base_num, 4),
             ref_valid.reshape(f * self.base_num),
+            precise=True,
         )
 
     def precompute_ref(self, c4: jnp.ndarray, rois: jnp.ndarray) -> jnp.ndarray:

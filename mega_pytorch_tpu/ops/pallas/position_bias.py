@@ -138,13 +138,20 @@ def reference_position_bias(
     wg_kernel: jnp.ndarray,
     wg_bias: jnp.ndarray,
     embed_dim: int = 64,
+    sin_dtype: jnp.dtype = jnp.bfloat16,
 ) -> jnp.ndarray:
     """Pure-XLA twin (the production path; einsum formulation).
 
-    Sinusoids are cast to bf16 before the contraction — they are bounded in
-    [-1, 1] so bf16's 8-bit mantissa costs ~4e-3 absolute on the bias
-    weight, well below the softmax's sensitivity, and it halves the dominant
-    HBM traffic."""
+    Sinusoids are cast to `sin_dtype` before the contraction. bf16 (the
+    inference default) is safe FORWARD-only: they are bounded in [-1, 1] so
+    bf16's 8-bit mantissa costs ~4e-3 absolute on the bias weight, well below
+    the softmax's sensitivity, and it halves the dominant HBM traffic. It is
+    NOT safe under `jax.grad`: pw = relu(emb@Wg) clusters at the relu
+    boundary at init scale (Wg ~ N(0, 0.01)), and a 4e-3 perturbation both
+    flips relu' and shifts the 1/(pw+1e-6) factor of d log-bias/dWg, so Wg
+    gradients come out ~3x off the reference's fp32 autograd (measured in
+    the MEGA train-parity harness). Training paths must pass
+    sin_dtype=float32 (RelationAttention(precise_bias=True))."""
     num_freq = embed_dim // 8
     g = wg_kernel.shape[1]
     dx, dy, dw, dh = _log_ratios(
@@ -157,13 +164,13 @@ def reference_position_bias(
     w4 = wg_kernel.astype(jnp.float32).reshape(4, 2, num_freq, g)
     pw = jnp.einsum(
         "nmcf,cfg->nmg",
-        jnp.sin(div).astype(jnp.bfloat16),
-        w4[:, 0].astype(jnp.bfloat16),
+        jnp.sin(div).astype(sin_dtype),
+        w4[:, 0].astype(sin_dtype),
         preferred_element_type=jnp.float32,
     ) + jnp.einsum(
         "nmcf,cfg->nmg",
-        jnp.cos(div).astype(jnp.bfloat16),
-        w4[:, 1].astype(jnp.bfloat16),
+        jnp.cos(div).astype(sin_dtype),
+        w4[:, 1].astype(sin_dtype),
         preferred_element_type=jnp.float32,
     )
     pw = jnp.maximum(pw + wg_bias.astype(jnp.float32), 0.0)

@@ -213,3 +213,105 @@ def load_reference():
 
     _loaded = mega_core
     return _loaded
+
+
+def _torch_roi_align_soft(input, rois, output_size, spatial_scale,
+                          sampling_ratio):
+    """Differentiable pure-torch ROIAlign with the kernel's exact semantics
+    (csrc/cpu/ROIAlign_cpu.cpp: no -0.5 offset, roi size clamped to >=1,
+    (i+0.5)/grid sample points, y<-1 or y>H zeroed, coords clamped at 0 and
+    snapped at the high edge). Used ONLY to synthesize the CPU backward the
+    reference never implemented; forward values still come from _C."""
+    import torch as _t
+
+    ph, pw = output_size
+    B, C, H, W = input.shape
+    outs = []
+    for k in range(rois.shape[0]):
+        b = int(rois[k, 0].item())
+        x1, y1, x2, y2 = (float(v) * spatial_scale for v in rois[k, 1:])
+        roi_w = max(x2 - x1, 1.0)
+        roi_h = max(y2 - y1, 1.0)
+        bin_h, bin_w = roi_h / ph, roi_w / pw
+        gh = sampling_ratio if sampling_ratio > 0 else int(-(-roi_h // ph))
+        gw = sampling_ratio if sampling_ratio > 0 else int(-(-roi_w // pw))
+        iy = (_t.arange(gh, dtype=_t.float64) + 0.5) * bin_h / gh
+        ix = (_t.arange(gw, dtype=_t.float64) + 0.5) * bin_w / gw
+        ys = (y1 + _t.arange(ph, dtype=_t.float64)[:, None] * bin_h
+              + iy[None, :]).reshape(-1)  # (ph*gh)
+        xs = (x1 + _t.arange(pw, dtype=_t.float64)[:, None] * bin_w
+              + ix[None, :]).reshape(-1)  # (pw*gw)
+        yv = ys[:, None].expand(ph * gh, pw * gw).reshape(-1)
+        xv = xs[None, :].expand(ph * gh, pw * gw).reshape(-1)
+        inside = (yv >= -1.0) & (yv <= H) & (xv >= -1.0) & (xv <= W)
+        y = yv.clamp(min=0.0)
+        x = xv.clamp(min=0.0)
+        yl = y.floor().long().clamp(max=H - 1)
+        xl = x.floor().long().clamp(max=W - 1)
+        snap_y = yl >= H - 1
+        snap_x = xl >= W - 1
+        y = _t.where(snap_y, yl.double(), y)
+        x = _t.where(snap_x, xl.double(), x)
+        yh = (yl + 1).clamp(max=H - 1)
+        xh = (xl + 1).clamp(max=W - 1)
+        ly, lx = (y - yl).float(), (x - xl).float()
+        hy, hx = 1 - ly, 1 - lx
+        m = inside.float()
+        fm = input[b]  # (C, H, W)
+        val = (
+            (hy * hx * m) * fm[:, yl, xl]
+            + (hy * lx * m) * fm[:, yl, xh]
+            + (ly * hx * m) * fm[:, yh, xl]
+            + (ly * lx * m) * fm[:, yh, xh]
+        )  # (C, ph*gh*pw*gw)
+        val = val.reshape(C, ph, gh, pw, gw).mean(dim=(2, 4))
+        outs.append(val)
+    return (
+        _t.stack(outs)
+        if outs
+        else input.new_zeros((0, C, ph, pw))
+    )
+
+
+def install_differentiable_roi_align():
+    """Give the reference's CPU ROIAlign a backward (train-parity tests).
+
+    The reference CPU kernel is forward-only (layers/roi_align.py:33 raises
+    'Not implemented on the CPU'); forward values keep coming from the exact
+    _C kernel while backward is torch autograd through the semantically
+    identical recompute above."""
+    import torch as _t
+    from torch.autograd import Function
+
+    load_reference()
+    # `import mega_core.layers.roi_align` resolves to the FUNCTION re-exported
+    # by layers/__init__; grab the real submodule
+    ra = sys.modules["mega_core.layers.roi_align"]
+    _C = sys.modules["mega_core._C"]
+
+    class _DiffROIAlign(Function):
+        @staticmethod
+        def forward(ctx, input, roi, output_size, spatial_scale,
+                    sampling_ratio):
+            ctx.save_for_backward(input, roi)
+            ctx.meta = (output_size, spatial_scale, sampling_ratio)
+            return _C.roi_align_forward(
+                input, roi, spatial_scale, output_size[0], output_size[1],
+                sampling_ratio,
+            )
+
+        @staticmethod
+        def backward(ctx, grad_output):
+            input, roi = ctx.saved_tensors
+            output_size, spatial_scale, sampling_ratio = ctx.meta
+            with _t.enable_grad():
+                inp = input.detach().requires_grad_(True)
+                soft = _torch_roi_align_soft(
+                    inp, roi.detach(), output_size, spatial_scale,
+                    sampling_ratio,
+                )
+                (g,) = _t.autograd.grad(soft, inp, grad_output)
+            return g, None, None, None, None
+
+    ra.roi_align = _DiffROIAlign.apply
+    return _torch_roi_align_soft

