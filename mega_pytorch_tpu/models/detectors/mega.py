@@ -26,7 +26,14 @@ from ..roi_heads.mega_extractor import MEGAFeatureExtractor, RefSet
 from ..roi_heads.predictors import FPNPredictor
 from ..roi_heads.subsample import fastrcnn_loss, subsample_proposals
 from ..rpn.anchors import generate_cell_anchors, grid_anchors
-from ..rpn.rpn import RPNHead, RPNSizes, add_gt_proposals, rpn_loss, rpn_postprocess
+from ..rpn.rpn import (
+    RPNHead,
+    RPNSizes,
+    add_gt_proposals,
+    rpn_loss,
+    rpn_postprocess,
+    shared_ref_key_postprocess,
+)
 from .rcnn import RCNNConfig
 from .rdn import VidConfig, _push
 
@@ -214,23 +221,26 @@ class GeneralizedRCNNMEGA(nn.Module):
     def precompute(self, images: ImageBatch):
         """One frame → cache entry. Runs backbone + res5 + RPN head ONCE and
         derives both the ref (75) and key (300) proposal sets plus their
-        pooled fc0 ROI features."""
+        pooled fc0 ROI features. The ref set is the rank-prefix of the key
+        set under every shipped config (shared_ref_key_postprocess), so sort,
+        NMS, pooling and fc0 all run once on the key set and ref slices."""
         feats = self.backbone(images.tensors.astype(jnp.dtype(self.c.compute_dtype)))
         objectness, deltas = self.rpn(feats)
         anchors = self._anchors(feats.shape[1], feats.shape[2])
-        ref_props = rpn_postprocess(
-            objectness, deltas, anchors, images.sizes, self._ref_sizes()
-        )
-        key_props = rpn_postprocess(
-            objectness, deltas, anchors, images.sizes, self._key_sizes(train=False)
+        ref_props, key_props, prefix = shared_ref_key_postprocess(
+            objectness, deltas, anchors, images.sizes,
+            self._ref_sizes(), self._key_sizes(train=False),
         )
         enhanced = self.extractor.enhance_features(feats)
-        ref_feats = self.extractor.fc0(
-            self.extractor.pool_flat(enhanced[0], ref_props.boxes[0])
-        )
         key_feats = self.extractor.fc0(
             self.extractor.pool_flat(enhanced[0], key_props.boxes[0])
         )
+        if prefix:
+            ref_feats = key_feats[: self.c.ref_post_nms_top_n]
+        else:
+            ref_feats = self.extractor.fc0(
+                self.extractor.pool_flat(enhanced[0], ref_props.boxes[0])
+            )
         return {
             "rois": ref_props.boxes[0], "roi_valid": ref_props.valid[0],
             "feats": ref_feats,
@@ -261,22 +271,25 @@ class GeneralizedRCNNMEGA(nn.Module):
         anchors = self._anchors(feats.shape[1], feats.shape[2])
         enhanced = self.extractor.enhance_features(feats)
 
-        ref_props = rpn_postprocess(
-            objectness[:1], deltas[:1], anchors, images.sizes, self._ref_sizes()
-        )
-        key_props = rpn_postprocess(
+        ref_props, key_props, prefix = shared_ref_key_postprocess(
             objectness[:1], deltas[:1], anchors, images.sizes,
-            self._key_sizes(train=False),
+            self._ref_sizes(), self._key_sizes(train=False),
+        )
+        key_feats = self.extractor.fc0(
+            self.extractor.pool_flat(enhanced[0], key_props.boxes[0])
+        )
+        ref_feats = (
+            key_feats[: self.c.ref_post_nms_top_n]
+            if prefix
+            else self.extractor.fc0(
+                self.extractor.pool_flat(enhanced[0], ref_props.boxes[0])
+            )
         )
         entry = {
             "rois": ref_props.boxes[0], "roi_valid": ref_props.valid[0],
-            "feats": self.extractor.fc0(
-                self.extractor.pool_flat(enhanced[0], ref_props.boxes[0])
-            ),
+            "feats": ref_feats,
             "key_rois": key_props.boxes[0], "key_valid": key_props.valid[0],
-            "key_feats": self.extractor.fc0(
-                self.extractor.pool_flat(enhanced[0], key_props.boxes[0])
-            ),
+            "key_feats": key_feats,
         }
         g_props = rpn_postprocess(
             jax.lax.stop_gradient(objectness[1:]),

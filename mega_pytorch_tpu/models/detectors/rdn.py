@@ -28,7 +28,14 @@ from ..roi_heads.subsample import fastrcnn_loss, subsample_proposals
 from ..roi_heads.vid_extractors import RDNFeatureExtractor
 from ..backbone.resnet import ResNetC4
 from ..rpn.anchors import generate_cell_anchors, grid_anchors
-from ..rpn.rpn import RPNHead, RPNSizes, add_gt_proposals, rpn_loss, rpn_postprocess
+from ..rpn.rpn import (
+    RPNHead,
+    RPNSizes,
+    add_gt_proposals,
+    rpn_loss,
+    rpn_postprocess,
+    shared_ref_key_postprocess,
+)
 from .rcnn import RCNNConfig
 
 
@@ -268,20 +275,26 @@ class GeneralizedRCNNRDN(nn.Module):
         )
         objectness, deltas = self.rpn(feats)
         anchors = self._anchors(feats.shape[1], feats.shape[2])
-        ref_props = rpn_postprocess(
-            objectness, deltas, anchors, images.sizes, self._ref_sizes()
-        )
-        key_props = rpn_postprocess(
-            objectness, deltas, anchors, images.sizes, self._key_sizes(train=False)
+        ref_props, key_props, prefix = shared_ref_key_postprocess(
+            objectness, deltas, anchors, images.sizes,
+            self._ref_sizes(), self._key_sizes(train=False),
         )
         enhanced = self.extractor.enhance_features(feats)
-        ref_flat = self.extractor.pool_flat(enhanced[0], ref_props.boxes[0])
-        key_flat = self.extractor.pool_flat(enhanced[0], key_props.boxes[0])
+        key_feats = self.extractor.fc0(
+            self.extractor.pool_flat(enhanced[0], key_props.boxes[0])
+        )
+        ref_feats = (
+            key_feats[: self.c.ref_post_nms_top_n]
+            if prefix
+            else self.extractor.fc0(
+                self.extractor.pool_flat(enhanced[0], ref_props.boxes[0])
+            )
+        )
         return {
             "rois": ref_props.boxes[0], "roi_valid": ref_props.valid[0],
-            "feats": self.extractor.fc0(ref_flat),
+            "feats": ref_feats,
             "key_rois": key_props.boxes[0], "key_valid": key_props.valid[0],
-            "key_feats": self.extractor.fc0(key_flat),
+            "key_feats": key_feats,
         }
 
     def init_carry(self, entry, size) -> RDNCarry:

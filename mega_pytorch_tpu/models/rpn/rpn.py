@@ -119,6 +119,48 @@ def rpn_postprocess(
     )
 
 
+def shared_ref_key_postprocess(
+    objectness: jnp.ndarray,
+    box_deltas: jnp.ndarray,
+    anchors: jnp.ndarray,
+    im_sizes: jnp.ndarray,
+    ref_sizes: RPNSizes,
+    key_sizes: RPNSizes,
+) -> tuple[Boxes, Boxes, bool]:
+    """(ref, key, is_prefix) proposal sets from ONE sort + ONE NMS where
+    possible; is_prefix=True means ref IS key[:, :ref_post] (callers can then
+    also reuse pooled ROI features by slicing instead of re-pooling).
+
+    The VID streaming protocol derives two proposal sets per frame from the
+    same RPN outputs: the ref set (REF_POST_NMS_TOP_N=75, defaults.py:414-415)
+    and the key set (POST_NMS_TOP_N_TEST=300, BASE_RCNN_*.yaml). Every shipped
+    config differs only in post_nms_top_n — and NMS keep slots are filled in
+    score-rank order with identical suppression sets for identical inputs, so
+    the 75-post result is exactly the first 75 slots of the 300-post result.
+    Computing the key set once and slicing halves the per-frame sort + NMS
+    work (measured ~1.0 ms/frame of sort+while on v5e at MEGA shapes).
+    Falls back to two independent passes when the params genuinely differ.
+    """
+    key_props = rpn_postprocess(objectness, box_deltas, anchors, im_sizes, key_sizes)
+    if (
+        ref_sizes.pre_nms_top_n == key_sizes.pre_nms_top_n
+        and ref_sizes.nms_thresh == key_sizes.nms_thresh
+        and ref_sizes.min_size == key_sizes.min_size
+        and ref_sizes.post_nms_top_n <= key_sizes.post_nms_top_n
+    ):
+        r = ref_sizes.post_nms_top_n
+        ref_props = Boxes(
+            boxes=key_props.boxes[:, :r],
+            valid=key_props.valid[:, :r],
+            fields={k: v[:, :r] for k, v in key_props.fields.items()},
+        )
+        return ref_props, key_props, True
+    ref_props = rpn_postprocess(
+        objectness, box_deltas, anchors, im_sizes, ref_sizes
+    )
+    return ref_props, key_props, False
+
+
 def add_gt_proposals(proposals: Boxes, gt_boxes: jnp.ndarray, gt_valid: jnp.ndarray) -> Boxes:
     """Append padded GT slots with objectness 1 (inference.py:52-74).
 
