@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.transforms import normalize_u8_frames
+from ..data.transforms import normalize_u8_frames, s2d_pack_frames
 from ..structures.image_list import ImageBatch
 from .inference import _extract
 
@@ -180,15 +180,18 @@ class _LaneFeed:
     reset (bool), gmask (bool), emit (dataset idx or None), orig_hw."""
 
     def __init__(self, dataset, preprocessor, videos: list[list[int]],
-                 warmup: int, use_global: bool = True):
+                 warmup: int, use_global: bool = True, pack: bool = False):
         self.dataset = dataset
         self.prep = preprocessor
         self.videos = videos
         self.warmup = warmup
         self.use_global = use_global
+        self.pack = pack  # host-side s2d(2) for the packed-stem fast path
 
     def _frame(self, pattern, fid):
         p = self.prep._prep_u8(self.dataset.load_frame(pattern, fid), flip=False)
+        if self.pack:
+            return s2d_pack_frames(p.image), p.size
         return p.image, p.size
 
     def _globals(self, idx):
@@ -302,8 +305,21 @@ def compute_on_dataset_lockstep(
     for canvas_shape, group in groups.items():
         bins, max_steps = _partition(group, lanes, warmup)
         n_lanes = len(bins)
+        # host-side s2d(2) frame packing: the stem then runs its exact 4x4/1
+        # reformulation (resnet.s2d_stem_kernel) — the 7x7/2-on-3-channels
+        # form measures 4% MFU. Methods whose carries/flownet consume raw
+        # images (fgfa, dff) stay unpacked.
+        pack = (
+            v.method in ("mega", "rdn")
+            and canvas_shape[0] % 2 == 0
+            and canvas_shape[1] % 2 == 0
+        )
         feeds = [
-            iter(_LaneFeed(dataset, preprocessor, b, warmup, use_global))
+            iter(
+                _LaneFeed(
+                    dataset, preprocessor, b, warmup, use_global, pack=pack
+                )
+            )
             for b in bins
         ]
 

@@ -110,8 +110,58 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+# maps 7x7 kernel offset u (padding 3, stride 2) to the equivalent
+# (4-tap offset d=p-i in s2d coords, input phase a): 2i+u-3 = 2(i+d)+a
+_S2D_TAPS = {0: (0, 1), 1: (1, 0), 2: (1, 1), 3: (2, 0), 4: (2, 1),
+             5: (3, 0), 6: (3, 1)}
+
+
+def s2d_stem_kernel(w7: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange the canonical stem kernel (7, 7, C, O) into the exact
+    space-to-depth-2 equivalent (4, 4, 4C, O).
+
+    A 7x7 stride-2 pad-3 conv on (H, W, C) equals a 4x4 stride-1 conv on the
+    s2d(2) input (H/2, W/2, 4C) [channel packing a*2C + b*C + c for input
+    pixel (2p+a, 2q+b, c)] with kernel taps scattered per phase; the
+    (d=0, a=0) tap never occurs and stays zero. Exactness (incl. the zero
+    padding) is locked in tests/test_backbone.py."""
+    c, o = w7.shape[2], w7.shape[3]
+    w4 = jnp.zeros((4, 4, 4 * c, o), w7.dtype)
+    for u in range(7):
+        du, a = _S2D_TAPS[u]
+        for v in range(7):
+            dv, b = _S2D_TAPS[v]
+            w4 = w4.at[du, dv, (a * 2 + b) * c : (a * 2 + b + 1) * c].set(
+                w7[u, v]
+            )
+    return w4
+
+
+class _StemConv1(nn.Module):
+    """Declares the canonical (7, 7, 3, features) stem kernel at the
+    state-dict path <stem>/conv1/kernel without binding it to one conv form."""
+
+    features: int = 64
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, 3, self.features),
+        )
+
+
 class Stem(nn.Module):
-    """7x7/2 conv + frozen BN + 3x3/2 maxpool (resnet.py:367-387)."""
+    """7x7/2 conv + frozen BN + 3x3/2 maxpool (resnet.py:367-387).
+
+    A space-to-depth-2 packed input (channels = 4*3, see s2d_stem_kernel)
+    takes an exact reformulated path: the canonical 7x7/2 conv runs as a
+    4x4/1 conv over 12 channels. The 3-channel form feeds the MXU a depth-3
+    contraction (measured 4% MFU, 0.78 ms/frame of the MEGA streaming step);
+    the packed form has 4x fewer positions at 16x the depth. Parameters stay
+    in the canonical (7, 7, 3, 64) layout either way — checkpoint ingestion
+    and the classic path are untouched."""
 
     out_channels: int = 64
     norm: str = "frozen_bn"
@@ -119,15 +169,25 @@ class Stem(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(
-            self.out_channels,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=False,
-            dtype=self.dtype,
-            name="conv1",
-        )(x)
+        # canonical kernel param at the torch state-dict path stem/conv1/
+        # (same default init as nn.Conv), shared by both conv forms
+        w7 = _StemConv1(name="conv1", features=self.out_channels)()
+        if x.shape[-1] == 12:  # s2d(2)-packed RGB → exact 4x4/1 reformulation
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                s2d_stem_kernel(w7).astype(self.dtype),
+                window_strides=(1, 1),
+                padding=[(2, 1), (2, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                w7.astype(self.dtype),
+                window_strides=(2, 2),
+                padding=[(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         x = make_norm(self.norm, self.out_channels, self.dtype, "bn1")(x)
         x = nn.relu(x)
         return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

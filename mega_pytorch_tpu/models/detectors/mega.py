@@ -443,8 +443,11 @@ def build_mega_flagship(canvas_h: int, canvas_w: int, batch: int = 1):
     )
     model = GeneralizedRCNNMEGA(c=c, v=v)
     rs = np.random.RandomState(0)
+    # frames arrive s2d(2)-packed (H/2, W/2, 12), matching the lockstep
+    # engine's host-packed feed → the stem runs its 4x4/1 reformulation
+    ph, pw = canvas_h // 2, canvas_w // 2
     one = ImageBatch(
-        tensors=jnp.asarray(rs.randn(1, canvas_h, canvas_w, 3) * 50, jnp.float32),
+        tensors=jnp.asarray(rs.randn(1, ph, pw, 12) * 50, jnp.float32),
         sizes=jnp.array([[600.0, 1000.0]], jnp.float32),
     )
     # two-phase init: precompute params suffice to build a carry, then a full
@@ -476,7 +479,7 @@ def build_mega_flagship(canvas_h: int, canvas_w: int, batch: int = 1):
         return new_carry, dets.scores.sum()
 
     gone = ImageBatch(
-        tensors=jnp.asarray(rs.randn(1, canvas_h, canvas_w, 3) * 50, jnp.float32),
+        tensors=jnp.asarray(rs.randn(1, ph, pw, 12) * 50, jnp.float32),
         sizes=one.sizes,
     )
 
@@ -494,11 +497,11 @@ def build_mega_flagship(canvas_h: int, canvas_w: int, batch: int = 1):
         lambda x: jnp.tile(x[None], (batch,) + (1,) * x.ndim), carry
     )
     frames = ImageBatch(
-        tensors=jnp.asarray(rs.randn(batch, 1, canvas_h, canvas_w, 3) * 50, jnp.float32),
+        tensors=jnp.asarray(rs.randn(batch, 1, ph, pw, 12) * 50, jnp.float32),
         sizes=jnp.tile(one.sizes[None], (batch, 1, 1)),
     )
     gframes = ImageBatch(
-        tensors=jnp.asarray(rs.randn(batch, 1, canvas_h, canvas_w, 3) * 50, jnp.float32),
+        tensors=jnp.asarray(rs.randn(batch, 1, ph, pw, 12) * 50, jnp.float32),
         sizes=jnp.tile(one.sizes[None], (batch, 1, 1)),
     )
 
