@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .warp import warp_by_flow
+from .warp import bilinear_sample
 
 
 def deform_conv2d(
@@ -30,16 +30,24 @@ def deform_conv2d(
     """Stride-1, same-padding deformable conv over one image."""
     kh, kw, cin, cout = weight.shape
     k = kh * kw
-    out = jnp.zeros((x.shape[0], x.shape[1], cout), jnp.float32)
-    pad_h, pad_w = (kh // 2) * dilation, (kw // 2) * dilation
+    h, w = x.shape[0], x.shape[1]
+    out = jnp.zeros((h, w, cout), jnp.float32)
+    grid_y, grid_x = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
     for t in range(k):
         dy = (t // kw - kh // 2) * dilation
         dx = (t % kw - kw // 2) * dilation
-        # torch layout: offsets channel 2t = Δy, 2t+1 = Δx
-        flow = jnp.stack(
-            [offsets[..., 2 * t + 1] + dx, offsets[..., 2 * t] + dy], axis=-1
+        # torch layout: offsets channel 2t = Δy, 2t+1 = Δx. Deform conv
+        # addresses pixels absolutely (p + p_k + Δp) — raw coordinates, no
+        # grid_sample normalization (unlike the flow-warp path).
+        sampled = bilinear_sample(
+            x.astype(jnp.float32),
+            grid_x + (offsets[..., 2 * t + 1] + dx),
+            grid_y + (offsets[..., 2 * t] + dy),
         )
-        sampled = warp_by_flow(x.astype(jnp.float32), flow)
         if mask is not None:
             sampled = sampled * mask[..., t : t + 1]
         out = out + sampled @ weight[t // kw, t % kw].astype(jnp.float32)

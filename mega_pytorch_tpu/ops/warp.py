@@ -19,25 +19,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def warp_by_flow(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
-    """Backward-warp ``features`` by ``flow`` (grid_sample a_c=False semantics).
-
-    Args:
-      features: (H, W, C).
-      flow: (H, W, 2) — (dx, dy) displacement in pixels; output[y, x] samples
-            features at ((x+dx)·W/(W−1) − ½, (y+dy)·H/(H−1) − ½),
-            border-clamped bilinear (see module docstring).
-
-    Returns:
-      (H, W, C) warped features.
-    """
+def bilinear_sample(
+    features: jnp.ndarray, src_x: jnp.ndarray, src_y: jnp.ndarray
+) -> jnp.ndarray:
+    """Border-clamped bilinear sample of (H, W, C) ``features`` at raw pixel
+    coordinates ``(src_x, src_y)`` (each (H, W)). Used directly by ops that
+    address pixels absolutely (deform conv: p + p_k + Δp, no grid
+    normalization — csrc/cuda/deform_conv_kernel_cuda.cu bilinear taps), and
+    by :func:`warp_by_flow` after the grid_sample coordinate transform."""
     h, w = features.shape[0], features.shape[1]
-    ys = jnp.arange(h, dtype=jnp.float32)
-    xs = jnp.arange(w, dtype=jnp.float32)
-    grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")
-    src_x = (grid_x + flow[..., 0]) * (w / (w - 1.0)) - 0.5
-    src_y = (grid_y + flow[..., 1]) * (h / (h - 1.0)) - 0.5
-
     # padding_mode="border": clamp sample coords into the image
     src_x = jnp.clip(src_x, 0.0, w - 1.0)
     src_y = jnp.clip(src_y, 0.0, h - 1.0)
@@ -62,3 +52,24 @@ def warp_by_flow(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     top = v00 * (1 - lx) + v01 * lx
     bot = v10 * (1 - lx) + v11 * lx
     return top * (1 - ly) + bot * ly
+
+
+def warp_by_flow(features: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Backward-warp ``features`` by ``flow`` (grid_sample a_c=False semantics).
+
+    Args:
+      features: (H, W, C).
+      flow: (H, W, 2) — (dx, dy) displacement in pixels; output[y, x] samples
+            features at ((x+dx)·W/(W−1) − ½, (y+dy)·H/(H−1) − ½),
+            border-clamped bilinear (see module docstring).
+
+    Returns:
+      (H, W, C) warped features.
+    """
+    h, w = features.shape[0], features.shape[1]
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")
+    src_x = (grid_x + flow[..., 0]) * (w / (w - 1.0)) - 0.5
+    src_y = (grid_y + flow[..., 1]) * (h / (h - 1.0)) - 0.5
+    return bilinear_sample(features, src_x, src_y)
