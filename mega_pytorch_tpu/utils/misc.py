@@ -139,3 +139,16 @@ def setup_compilation_cache(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass  # unknown flags on an older jax: cache is best-effort
+
+
+def jit_init(module, *args, **static_kwargs):
+    """``module.init(*args, **static_kwargs)`` as one jitted XLA program.
+
+    Eager flax init dispatches the whole traced forward op-by-op — thousands
+    of host round-trips (30 ms each through the TPU relay) or of CPU dispatch
+    overheads. One jitted program runs ~3x faster cold and is served by the
+    persistent compilation cache warm. Non-array kwargs (``train=``,
+    ``method=``) are static and closed over; positional args stay traced."""
+    import jax
+
+    return jax.jit(lambda a: module.init(*a, **static_kwargs))(args)

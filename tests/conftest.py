@@ -27,11 +27,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # Persistent compilation cache: repeated suite runs skip XLA recompiles of the
 # heavyweight train/eval steps (VERDICT r1 weakness #5 — suite wall time).
 # Namespaced per host CPU: cross-machine AOT entries can SIGILL/SIGABRT.
+# MEGA_TESTS_CACHE_DIR overrides (lets CI / timing runs use a throwaway dir).
 from mega_pytorch_tpu.utils.misc import setup_compilation_cache  # noqa: E402
 
 setup_compilation_cache(
-    os.path.join(os.path.dirname(__file__), "..", ".cache", "jax_cache")
+    os.environ.get("MEGA_TESTS_CACHE_DIR")
+    or os.path.join(os.path.dirname(__file__), "..", ".cache", "jax_cache")
 )
+
+# XLA:CPU spends minutes per video-method graph at -O2-equivalent; the tests
+# only care about semantics, not CPU codegen quality, so drop to the fast
+# compile path by default (MEGA_TESTS_FULL_OPT=1 restores full optimization).
+# This is test-env-only: CLIs/bench never touch it, TPU runs are unaffected.
+if not os.environ.get("MEGA_TESTS_FULL_OPT"):
+    jax.config.update("jax_disable_most_optimizations", True)
 
 
 # -- shared synthetic dataset fixture -----------------------------------------

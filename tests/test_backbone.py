@@ -19,6 +19,7 @@ from mega_pytorch_tpu.models.backbone import (
 )
 from mega_pytorch_tpu.models.backbone.resnet import Bottleneck, Stem
 from mega_pytorch_tpu.utils.torch_ingest import ingest_state_dict
+from mega_pytorch_tpu.utils.misc import jit_init
 
 
 class TorchFrozenBN(torch.nn.Module):
@@ -155,7 +156,7 @@ def test_deconv_parity():
 def test_resnet_c4_shapes_and_frozen_grads():
     model = ResNetC4(depth="R-50", freeze_at=2)
     x = jnp.zeros((1, 128, 160, 3))
-    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    params = jit_init(model, jax.random.PRNGKey(0), x)["params"]
     out = model.apply({"params": params}, x)
     assert out.shape == (1, 8, 10, 1024)  # stride 16, 1024ch
 
@@ -181,7 +182,7 @@ def test_resnet_c4_shapes_and_frozen_grads():
 def test_res5_head_dilated_keeps_resolution():
     head = ResNetRes5Head(depth="R-50", stride_init=1, dilation=2)
     x = jnp.zeros((1, 8, 10, 1024))
-    params = head.init(jax.random.PRNGKey(0), x)["params"]
+    params = jit_init(head, jax.random.PRNGKey(0), x)["params"]
     out = head.apply({"params": params}, x)
     assert out.shape == (1, 8, 10, 2048)
 
@@ -190,7 +191,7 @@ def test_flownet_shapes():
     for method, expect_tuple in (("fgfa", False), ("dff", True)):
         net = FlowNetS(method=method)
         x = jnp.zeros((1, 128, 192, 6))
-        params = net.init(jax.random.PRNGKey(0), x)["params"]
+        params = jit_init(net, jax.random.PRNGKey(0), x)["params"]
         out = net.apply({"params": params}, x)
         if expect_tuple:
             flow, scale = out
@@ -205,7 +206,7 @@ def test_flownet_shapes():
 def test_embednet_shapes():
     net = EmbedNet()
     x = jnp.zeros((1, 8, 10, 1024))
-    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    params = jit_init(net, jax.random.PRNGKey(0), x)["params"]
     out = net.apply({"params": params}, x)
     assert out.shape == (1, 8, 10, 2048)
 
@@ -216,7 +217,7 @@ def test_gn_variant_builds_and_trains_norm_params():
 
     model = ResNetC4(depth="R-50", norm="gn", freeze_at=0)
     x = jnp.zeros((1, 64, 64, 3))
-    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    params = jit_init(model, jax.random.PRNGKey(0), x)["params"]
     # GroupNorm params: scale/bias (no running stats)
     bn1 = params["stem"]["bn1"]
     assert set(bn1.keys()) == {"scale", "bias"}
@@ -249,7 +250,7 @@ def test_s2d_stem_exact():
     )
 
     stem = Stem()
-    params = stem.init(jax.random.PRNGKey(0), x3)["params"]
+    params = jit_init(stem, jax.random.PRNGKey(0), x3)["params"]
     assert params["conv1"]["kernel"].shape == (7, 7, 3, 64)
     y3 = stem.apply({"params": params}, x3)
     y12 = stem.apply({"params": params}, x12)

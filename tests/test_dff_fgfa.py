@@ -10,6 +10,7 @@ from mega_pytorch_tpu.models.detectors.fgfa import GeneralizedRCNNFGFA, cosine_w
 from mega_pytorch_tpu.models.detectors.rcnn import RCNNConfig, pad_gt
 from mega_pytorch_tpu.models.detectors.rdn import VidConfig
 from mega_pytorch_tpu.structures.image_list import ImageBatch
+from mega_pytorch_tpu.utils.misc import jit_init
 
 TINY_C = RCNNConfig(
     depth="R-14",  # one-block-per-stage testing spec: same code path, fast compile
@@ -48,20 +49,18 @@ def _gt():
 def test_dff_train_and_stream():
     model = GeneralizedRCNNDFF(c=TINY_C, v=VidConfig(method="dff"))
     images = _images(2)
-    params = model.init(
+    params = jit_init(model,
         jax.random.PRNGKey(0), images, _gt(), jax.random.PRNGKey(1), train=True
     )["params"]
     # flownet + backbone + heads all present
     assert "flownet" in params and "Convolution5_scale" in params["flownet"]
 
-    losses = model.apply({"params": params}, images, _gt(), jax.random.PRNGKey(2), train=True)
-    assert all(np.isfinite(float(v)) for v in losses.values())
-
     def loss_fn(p):
         d = model.apply({"params": p}, images, _gt(), jax.random.PRNGKey(2), train=True)
-        return sum(d.values())
+        return sum(d.values()), d
 
-    g = jax.grad(loss_fn)(params)
+    (_, losses), g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(params)
+    assert all(np.isfinite(float(v)) for v in losses.values())
     total = lambda t: float(  # noqa: E731
         jax.tree_util.tree_reduce(lambda a, x: a + jnp.abs(x).sum(), t, 0.0)
     )
@@ -69,7 +68,7 @@ def test_dff_train_and_stream():
     assert total(g["backbone"]["layer2"]) > 0
 
     one = ImageBatch(tensors=images.tensors[:1], sizes=images.sizes[:1])
-    carry = model.apply({"params": params}, one, method=model.make_key)
+    carry = jax.jit(lambda p, im: model.apply({"params": p}, im, method=model.make_key))(params, one)
     assert isinstance(carry, DFFCarry)
     dets = jax.jit(
         lambda p, c, im: model.apply({"params": p}, c, im, method=model.detect_non_key)
@@ -82,20 +81,18 @@ def test_fgfa_train_and_stream():
     v = VidConfig(method="fgfa", ref_num=2, all_frame_interval=4, key_frame_location=2)
     model = GeneralizedRCNNFGFA(c=TINY_C, v=v)
     images = _images(3, seed=1)
-    params = model.init(
+    params = jit_init(model,
         jax.random.PRNGKey(0), images, _gt(), jax.random.PRNGKey(1), train=True
     )["params"]
     assert "embednet" in params
     assert "Convolution5_scale" not in params["flownet"]  # fgfa variant
 
-    losses = model.apply({"params": params}, images, _gt(), jax.random.PRNGKey(2), train=True)
-    assert all(np.isfinite(float(v)) for v in losses.values())
-
     def loss_fn(p):
         d = model.apply({"params": p}, images, _gt(), jax.random.PRNGKey(2), train=True)
-        return sum(d.values())
+        return sum(d.values()), d
 
-    g = jax.grad(loss_fn)(params)
+    (_, losses), g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(params)
+    assert all(np.isfinite(float(v)) for v in losses.values())
     total = lambda t: float(  # noqa: E731
         jax.tree_util.tree_reduce(lambda a, x: a + jnp.abs(x).sum(), t, 0.0)
     )
@@ -103,7 +100,7 @@ def test_fgfa_train_and_stream():
     assert total(g["flownet"]["flow_conv1"]) > 0
 
     one = ImageBatch(tensors=images.tensors[:1], sizes=images.sizes[:1])
-    entry = model.apply({"params": params}, one, method=model.precompute)
+    entry = jax.jit(lambda p, im: model.apply({"params": p}, im, method=model.precompute))(params, one)
     assert entry[1].shape[-1] == 1024 + 2048
     carry = model.apply({"params": params}, entry, one.sizes[0], method=model.init_carry)
     step = jax.jit(

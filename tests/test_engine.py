@@ -19,6 +19,7 @@ from mega_pytorch_tpu.models.detectors.rdn import VidConfig
 from mega_pytorch_tpu.solver import make_optimizer
 from mega_pytorch_tpu.utils.checkpoint import Checkpointer
 from mega_pytorch_tpu.utils.logger import setup_logger
+from mega_pytorch_tpu.utils.misc import jit_init
 
 TINY_C = RCNNConfig(
     depth="R-14",  # one-block-per-stage testing spec: same code path, fast compile
@@ -72,7 +73,7 @@ def test_do_train_base_two_iterations(tiny_root, tmp_path):
 
     first = prep(ds[0])
     inputs, gt = assemble_inputs("base", first)
-    params = model.init(jax.random.PRNGKey(0), inputs, gt, jax.random.PRNGKey(1), train=True)["params"]
+    params = jit_init(model, jax.random.PRNGKey(0), inputs, gt, jax.random.PRNGKey(1), train=True)["params"]
     optimizer = make_optimizer(cfg, params)
     opt_state = optimizer.init(params)
     logger = setup_logger("test_train", None)
@@ -104,10 +105,10 @@ def test_streaming_inference_and_eval_mega(tiny_root):
     from mega_pytorch_tpu.structures.image_list import ImageBatch
 
     one = ImageBatch(tensors=s0["cur"], sizes=s0["cur_size"])
-    tmp = model.init(jax.random.PRNGKey(0), one, method=model.precompute)["params"]
+    tmp = jit_init(model, jax.random.PRNGKey(0), one, method=model.precompute)["params"]
     entry = model.apply({"params": tmp}, one, method=model.precompute)
     carry = model.apply({"params": tmp}, entry, one.sizes[0], method=model.init_carry)
-    params = model.init(jax.random.PRNGKey(0), carry, one, method=model.test_step)["params"]
+    params = jit_init(model, jax.random.PRNGKey(0), carry, one, method=model.test_step)["params"]
 
     logger = setup_logger("test_eval", None)
     preds = compute_on_dataset(
@@ -144,7 +145,7 @@ def test_do_train_sharded_over_mesh(tiny_root, tmp_path):
     )
     first = prep(ds[0])
     inputs, gt = assemble_inputs("base", first)
-    params = model.init(jax.random.PRNGKey(0), inputs, gt, jax.random.PRNGKey(1), train=True)["params"]
+    params = jit_init(model, jax.random.PRNGKey(0), inputs, gt, jax.random.PRNGKey(1), train=True)["params"]
     from mega_pytorch_tpu.solver import make_optimizer
 
     optimizer = make_optimizer(cfg, params)
@@ -167,6 +168,9 @@ def test_do_train_sharded_over_mesh(tiny_root, tmp_path):
     assert ckpt.has_checkpoint()
 
 
+# slow: ~5 min even cache-warm; the driver's dryrun_multichip gate runs
+# this exact sharded-MEGA-train path on every round (__graft_entry__.py).
+@pytest.mark.slow
 def test_mega_train_step_sharded_over_mesh():
     """Video-method multi-chip training (the reference's real workload:
     1 img/GPU over DDP, configs/BASE_RCNN_8gpu.yaml): two MEGA train steps
@@ -202,7 +206,7 @@ def test_mega_train_step_sharded_over_mesh():
     )
 
     one = jax.tree_util.tree_map(lambda x: x[0], (inputs, gt))
-    params = model.init(
+    params = jit_init(model,
         jax.random.PRNGKey(0), one[0], one[1], jax.random.PRNGKey(1), train=True
     )["params"]
     optimizer = make_optimizer(get_preset("base_R_50"), params)
@@ -314,7 +318,7 @@ def test_im_detect_bbox_aug(tiny_root):
     prep = EvalPreprocessor(**_prep_kwargs())
     sample = prep(ds[0])
     inputs, gt = assemble_inputs("base", sample)
-    params = model.init(
+    params = jit_init(model,
         jax.random.PRNGKey(0), inputs, gt, jax.random.PRNGKey(1), train=True
     )["params"]
 
@@ -359,10 +363,10 @@ def test_lockstep_matches_serial_streaming(tiny_root):
 
     s0 = prep(ds[0])
     one = ImageBatch(tensors=s0["cur"], sizes=s0["cur_size"])
-    tmp = model.init(jax.random.PRNGKey(0), one, method=model.precompute)["params"]
+    tmp = jit_init(model, jax.random.PRNGKey(0), one, method=model.precompute)["params"]
     entry = model.apply({"params": tmp}, one, method=model.precompute)
     carry = model.apply({"params": tmp}, entry, one.sizes[0], method=model.init_carry)
-    params = model.init(jax.random.PRNGKey(0), carry, one, method=model.test_step)["params"]
+    params = jit_init(model, jax.random.PRNGKey(0), carry, one, method=model.test_step)["params"]
 
     indices = list(range(len(ds)))
     serial = compute_on_dataset(model, params, ds, indices, prep, "mega")
@@ -418,10 +422,10 @@ def _windowed_params(model):
         tensors=np.zeros((1, 48, 64, 3), np.float32),
         sizes=np.array([[48.0, 64.0]], np.float32),
     )
-    tmp = model.init(jax.random.PRNGKey(0), one, method=model.precompute)["params"]
+    tmp = jit_init(model, jax.random.PRNGKey(0), one, method=model.precompute)["params"]
     entry = model.apply({"params": tmp}, one, method=model.precompute)
     carry = model.apply({"params": tmp}, entry, one.sizes[0], method=model.init_carry)
-    return model.init(
+    return jit_init(model,
         jax.random.PRNGKey(0), carry, one, method=model.test_step
     )["params"]
 
@@ -474,9 +478,9 @@ def test_lockstep_matches_serial_dff(tiny_root):
         tensors=np.zeros((1, 48, 64, 3), np.float32),
         sizes=np.array([[48.0, 64.0]], np.float32),
     )
-    tmp = model.init(jax.random.PRNGKey(0), one, method=model.make_key)["params"]
+    tmp = jit_init(model, jax.random.PRNGKey(0), one, method=model.make_key)["params"]
     carry = model.apply({"params": tmp}, one, method=model.make_key)
-    det_init = model.init(
+    det_init = jit_init(model,
         jax.random.PRNGKey(0), carry, one, method=model.detect_non_key
     )["params"]
 

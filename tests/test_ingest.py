@@ -2,6 +2,7 @@
 parity vs torch ops), and full-coverage merge into a real model tree."""
 
 import logging
+from mega_pytorch_tpu.utils.misc import jit_init
 
 import numpy as np
 import pytest
@@ -136,7 +137,7 @@ def test_full_model_ingestion_covers_every_param():
     c = RCNNConfig(depth="R-50", reduce_channel=True)
     model = GeneralizedRCNN(c=c)
     images = ImageBatch(tensors=jnp.zeros((1, 64, 96, 3)), sizes=jnp.array([[64.0, 96.0]]))
-    init = model.init(jax.random.PRNGKey(0), images, train=False)["params"]
+    init = jit_init(model, jax.random.PRNGKey(0), images, train=False)["params"]
 
     sd = _torch_like_resnet_sd()
     sd.update(_res5_sd("roi_heads.box.feature_extractor.head"))

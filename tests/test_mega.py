@@ -9,6 +9,7 @@ from mega_pytorch_tpu.models.detectors.mega import GeneralizedRCNNMEGA, MEGACarr
 from mega_pytorch_tpu.models.detectors.rcnn import RCNNConfig, pad_gt
 from mega_pytorch_tpu.models.detectors.rdn import VidConfig
 from mega_pytorch_tpu.structures.image_list import ImageBatch
+from mega_pytorch_tpu.utils.misc import jit_init
 
 TINY_C = RCNNConfig(
     depth="R-14",  # one-block-per-stage testing spec: same code path, fast compile
@@ -57,7 +58,7 @@ def mega():
     gt = jax.tree_util.tree_map(
         lambda x: x[None], pad_gt(np.array([[10.0, 10.0, 40.0, 44.0]]), np.array([2]), 4)
     )
-    params = model.init(
+    params = jit_init(model,
         jax.random.PRNGKey(0), batch, gt, jax.random.PRNGKey(1), train=True
     )["params"]
     return model, params, batch, gt
@@ -80,14 +81,12 @@ def test_mega_param_structure(mega):
 
 def test_mega_train_losses_and_grads(mega):
     model, params, batch, gt = mega
-    losses = model.apply({"params": params}, batch, gt, jax.random.PRNGKey(2), train=True)
-    assert all(np.isfinite(float(v)) for v in losses.values()), losses
-
     def loss_fn(p):
         d = model.apply({"params": p}, batch, gt, jax.random.PRNGKey(2), train=True)
-        return sum(d.values())
+        return sum(d.values()), d
 
-    g = jax.grad(loss_fn)(params)
+    (_, losses), g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(params)
+    assert all(np.isfinite(float(v)) for v in losses.values()), losses
     total = lambda t: float(  # noqa: E731
         jax.tree_util.tree_reduce(lambda a, x: a + jnp.abs(x).sum(), t, 0.0)
     )
@@ -102,13 +101,13 @@ def test_mega_streaming_with_memory_growth(mega):
     one = ImageBatch(tensors=batch["local"].tensors[:1], sizes=batch["local"].sizes[:1])
     g_img = ImageBatch(tensors=batch["global"].tensors[:1], sizes=batch["global"].sizes[:1])
 
-    entry = model.apply({"params": params}, one, method=model.precompute)
+    entry = jax.jit(lambda p, im: model.apply({"params": p}, im, method=model.precompute))(params, one)
     carry = model.apply({"params": params}, entry, one.sizes[0], method=model.init_carry)
     assert not bool(carry.mem_valid[0].any())
     assert not bool(carry.g_valid.any())
 
     # global update before first detect (reference order, :201-208)
-    carry = model.apply({"params": params}, carry, g_img, method=model.update_global)
+    carry = jax.jit(lambda p, c, im: model.apply({"params": p}, c, im, method=model.update_global))(params, carry, g_img)
     assert bool(carry.g_valid[-1].all())
 
     step = jax.jit(

@@ -6,6 +6,7 @@ import numpy as np
 
 from mega_pytorch_tpu.ops.deform_conv import DFConv2d, deform_conv2d
 from mega_pytorch_tpu.ops.roi_pool import roi_pool
+from mega_pytorch_tpu.utils.misc import jit_init
 
 
 def np_roi_pool(feat, rois, scale, ph_n, pw_n):
@@ -73,7 +74,7 @@ def test_dfconv2d_module_v1_v2():
     x = jnp.asarray(np.random.RandomState(2).randn(1, 8, 10, 6), jnp.float32)
     for modulated in (False, True):
         m = DFConv2d(features=7, with_modulated_dcn=modulated, deformable_groups=2)
-        p = m.init(jax.random.PRNGKey(0), x)["params"]
+        p = jit_init(m, jax.random.PRNGKey(0), x)["params"]
         out = m.apply({"params": p}, x)
         assert out.shape == (1, 8, 10, 7)
         assert np.isfinite(np.asarray(out)).all()

@@ -30,6 +30,7 @@ import pytest
 import torch
 
 from reference_harness import load_reference, make_ref_vid_cfg
+from mega_pytorch_tpu.utils.misc import jit_init
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir("/root/reference"), reason="reference checkout not present"
@@ -179,7 +180,7 @@ def _ingest(model_torch, our_model, example_args):
         merge_params,
     )
 
-    init = our_model.init(jax.random.PRNGKey(0), *example_args, train=False)["params"]
+    init = jit_init(our_model, jax.random.PRNGKey(0), *example_args, train=False)["params"]
     loaded = convert_reference_state_dict(
         {k: v for k, v in model_torch.state_dict().items()}
     )
@@ -417,6 +418,7 @@ def _run_ours_mega(params, model, frames):
     return outs
 
 
+@pytest.mark.slow
 def test_mega_streaming_parity(tmp_path):
     """Frame-by-frame MEGA streaming (incl. frame-0 warmup, LRM pushes and the
     global cache) must produce matching detections in both stacks."""
@@ -452,14 +454,14 @@ def test_mega_streaming_parity(tmp_path):
         tensors=_norm_rgb(frames[0])[None],
         sizes=np.array([[float(H_M), float(W_M)]], np.float32),
     )
-    tmp = model.init(jax.random.PRNGKey(0), one, method=GeneralizedRCNNMEGA.precompute)[
+    tmp = jit_init(model, jax.random.PRNGKey(0), one, method=GeneralizedRCNNMEGA.precompute)[
         "params"
     ]
     entry = model.apply({"params": tmp}, one, method=GeneralizedRCNNMEGA.precompute)
     carry = model.apply(
         {"params": tmp}, entry, one.sizes[0], method=GeneralizedRCNNMEGA.init_carry
     )
-    init = model.init(
+    init = jit_init(model,
         jax.random.PRNGKey(0), carry, one, method=GeneralizedRCNNMEGA.test_step
     )["params"]
 
@@ -570,6 +572,7 @@ def _il(frames, f):
     return to_image_list([t])
 
 
+@pytest.mark.slow
 def test_dff_streaming_parity():
     """DFF key/non-key protocol: flow warp x scale-map modulation
     (generalized_rcnn_dff.py:96-138) matches frame-by-frame."""
@@ -604,11 +607,11 @@ def test_dff_streaming_parity():
     model = GeneralizedRCNNDFF(c=c, v=VidConfig(method="dff"))
 
     M = GeneralizedRCNNDFF
-    init_bb = model.init(
+    init_bb = jit_init(model,
         jax.random.PRNGKey(0), _ib(frames, 0), method=M.make_key
     )["params"]
     carry0 = model.apply({"params": init_bb}, _ib(frames, 0), method=M.make_key)
-    init_det = model.init(
+    init_det = jit_init(model,
         jax.random.PRNGKey(0), carry0, _ib(frames, 0), method=M.detect_non_key
     )["params"]
 
@@ -695,6 +698,7 @@ def _run_ours_streaming(params, model, frames):
     return outs
 
 
+@pytest.mark.slow
 def test_fgfa_streaming_parity(tmp_path):
     """FGFA 19-frame-window protocol at T_WIN=4: warp-all + cosine adaptive
     weights (generalized_rcnn_fgfa.py:144-219) matches frame-by-frame."""
@@ -725,16 +729,17 @@ def test_fgfa_streaming_parity(tmp_path):
 
     M = GeneralizedRCNNFGFA
     one = _ib(frames, 0)
-    tmp = model.init(jax.random.PRNGKey(0), one, method=M.precompute)["params"]
+    tmp = jit_init(model, jax.random.PRNGKey(0), one, method=M.precompute)["params"]
     entry = model.apply({"params": tmp}, one, method=M.precompute)
     carry = model.apply({"params": tmp}, entry, one.sizes[0], method=M.init_carry)
-    init = model.init(jax.random.PRNGKey(0), carry, one, method=M.test_step)["params"]
+    init = jit_init(model, jax.random.PRNGKey(0), carry, one, method=M.test_step)["params"]
     params = _ingest_by_init(ref_model, init)
 
     our_outs = _run_ours_streaming(params, model, frames)
     _assert_frames_match(ref_outs, our_outs)
 
 
+@pytest.mark.slow
 def test_rdn_streaming_parity(tmp_path):
     """RDN windowed relation-attention protocol at T_WIN=4
     (generalized_rcnn_rdn.py:108-190) matches frame-by-frame."""
@@ -776,10 +781,10 @@ def test_rdn_streaming_parity(tmp_path):
 
     M = GeneralizedRCNNRDN
     one = _ib(frames, 0)
-    tmp = model.init(jax.random.PRNGKey(0), one, method=M.precompute)["params"]
+    tmp = jit_init(model, jax.random.PRNGKey(0), one, method=M.precompute)["params"]
     entry = model.apply({"params": tmp}, one, method=M.precompute)
     carry = model.apply({"params": tmp}, entry, one.sizes[0], method=M.init_carry)
-    init = model.init(jax.random.PRNGKey(0), carry, one, method=M.test_step)["params"]
+    init = jit_init(model, jax.random.PRNGKey(0), carry, one, method=M.test_step)["params"]
     params = _ingest_by_init(ref_model, init)
 
     our_outs = _run_ours_streaming(params, model, frames)

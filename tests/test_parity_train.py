@@ -22,6 +22,7 @@ reference marks them requires_grad=False.
 from __future__ import annotations
 
 import os
+from mega_pytorch_tpu.utils.misc import jit_init
 
 import jax
 import jax.numpy as jnp
@@ -142,7 +143,7 @@ def _ingest_train(ref_model, our_model, example_args):
         merge_params,
     )
 
-    init = our_model.init(jax.random.PRNGKey(0), *example_args, train=True)[
+    init = jit_init(our_model, jax.random.PRNGKey(0), *example_args, train=True)[
         "params"
     ]
     missing = []
@@ -296,6 +297,7 @@ REF_POST_TRAIN = 12
 STAGES_TRAIN = 2
 
 
+@pytest.mark.slow
 def test_mega_train_parity(tmp_path):
     """MEGA train step (local + memory + global pools, relation attention,
     LRM build under no_grad): losses AND gradients match — in particular the

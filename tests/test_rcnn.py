@@ -18,6 +18,7 @@ from mega_pytorch_tpu.models.roi_heads.subsample import (
     subsample_proposals,
 )
 from mega_pytorch_tpu.structures.image_list import ImageBatch
+from mega_pytorch_tpu.utils.misc import jit_init
 
 TINY = RCNNConfig(
     depth="R-14",  # one-block-per-stage testing spec: same code path, fast compile
@@ -44,7 +45,7 @@ def model_and_params():
         lambda x: x[None],
         pad_gt(np.array([[20.0, 20.0, 80.0, 90.0]]), np.array([3]), 8),
     )
-    params = model.init(
+    params = jit_init(model,
         jax.random.PRNGKey(0), images, gt, jax.random.PRNGKey(1), train=True
     )["params"]
     return model, params, images, gt
@@ -52,7 +53,9 @@ def model_and_params():
 
 def test_train_losses(model_and_params):
     model, params, images, gt = model_and_params
-    losses = model.apply({"params": params}, images, gt, jax.random.PRNGKey(2), train=True)
+    losses = jax.jit(
+        lambda p: model.apply({"params": p}, images, gt, jax.random.PRNGKey(2), train=True)
+    )(params)
     assert set(losses) == {
         "loss_objectness",
         "loss_rpn_box_reg",
@@ -72,7 +75,7 @@ def test_grad_flow_excludes_frozen(model_and_params):
         d = model.apply({"params": p}, images, gt, jax.random.PRNGKey(2), train=True)
         return sum(d.values())
 
-    g = jax.grad(loss_fn)(params)
+    g = jax.jit(jax.grad(loss_fn))(params)
 
     def total(t):
         return float(
@@ -89,7 +92,7 @@ def test_grad_flow_excludes_frozen(model_and_params):
 
 def test_eval_detections(model_and_params):
     model, params, images, _ = model_and_params
-    dets = model.apply({"params": params}, images, train=False)
+    dets = jax.jit(lambda p: model.apply({"params": p}, images, train=False))(params)
     assert dets.boxes.shape == (1, 20, 4)
     assert dets.scores.shape == (1, 20)
     v = np.asarray(dets.valid[0])

@@ -12,6 +12,7 @@ from mega_pytorch_tpu.models.detectors.rdn import (
     VidConfig,
 )
 from mega_pytorch_tpu.structures.image_list import ImageBatch
+from mega_pytorch_tpu.utils.misc import jit_init
 
 TINY_C = RCNNConfig(
     depth="R-14",  # one-block-per-stage testing spec: same code path, fast compile
@@ -48,7 +49,7 @@ def rdn():
     gt = jax.tree_util.tree_map(
         lambda x: x[None], pad_gt(np.array([[10.0, 10.0, 40.0, 44.0]]), np.array([2]), 4)
     )
-    params = model.init(
+    params = jit_init(model,
         jax.random.PRNGKey(0), images, gt, jax.random.PRNGKey(1), train=True
     )["params"]
     return model, params, images, gt
@@ -56,17 +57,15 @@ def rdn():
 
 def test_rdn_train_losses_and_grads(rdn):
     model, params, images, gt = rdn
-    losses = model.apply({"params": params}, images, gt, jax.random.PRNGKey(2), train=True)
+    def loss_fn(p):
+        d = model.apply({"params": p}, images, gt, jax.random.PRNGKey(2), train=True)
+        return sum(d.values()), d
+
+    (_, losses), g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(params)
     assert set(losses) == {
         "loss_objectness", "loss_rpn_box_reg", "loss_classifier", "loss_box_reg",
     }
     assert all(np.isfinite(float(v)) for v in losses.values())
-
-    def loss_fn(p):
-        d = model.apply({"params": p}, images, gt, jax.random.PRNGKey(2), train=True)
-        return sum(d.values())
-
-    g = jax.grad(loss_fn)(params)
     total = lambda t: float(  # noqa: E731
         jax.tree_util.tree_reduce(lambda a, x: a + jnp.abs(x).sum(), t, 0.0)
     )

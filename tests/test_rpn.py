@@ -21,6 +21,7 @@ from mega_pytorch_tpu.models.rpn import (
     rpn_postprocess,
 )
 from mega_pytorch_tpu.models.sampler import balanced_sample
+from mega_pytorch_tpu.utils.misc import jit_init
 
 
 def test_cell_anchors_golden():
@@ -145,7 +146,7 @@ def test_add_gt_proposals():
 def test_rpn_head_and_loss_end_to_end():
     head = RPNHead(in_channels=32, num_anchors=3)
     feat = jnp.zeros((2, 4, 5, 32))
-    params = head.init(jax.random.PRNGKey(0), feat)["params"]
+    params = jit_init(head, jax.random.PRNGKey(0), feat)["params"]
     objectness, deltas = head.apply({"params": params}, feat)
     assert objectness.shape == (2, 60)
     assert deltas.shape == (2, 60, 4)

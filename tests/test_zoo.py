@@ -4,6 +4,9 @@ keypoint heads, segmentation structures."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+from mega_pytorch_tpu.utils.misc import jit_init
 
 from mega_pytorch_tpu.models.backbone.fpn import FPN, ResNetFPNBody
 from mega_pytorch_tpu.models.roi_heads.mask_head import (
@@ -33,14 +36,14 @@ from mega_pytorch_tpu.structures.segmentation import (
 def test_fpn_pyramid_shapes():
     body = ResNetFPNBody(depth="R-50")
     x = jnp.zeros((1, 128, 160, 3))
-    params = body.init(jax.random.PRNGKey(0), x)["params"]
+    params = jit_init(body, jax.random.PRNGKey(0), x)["params"]
     feats = body.apply({"params": params}, x)
     assert [f.shape[-1] for f in feats] == [256, 512, 1024, 2048]
     assert feats[0].shape[1:3] == (32, 40)  # stride 4
     assert feats[3].shape[1:3] == (4, 5)  # stride 32
 
     fpn = FPN(out_channels=256, top_block="maxpool")
-    fp = fpn.init(jax.random.PRNGKey(1), feats)["params"]
+    fp = jit_init(fpn, jax.random.PRNGKey(1), feats)["params"]
     levels = fpn.apply({"params": fp}, feats)
     assert len(levels) == 5  # P2..P6
     assert all(l.shape[-1] == 256 for l in levels)
@@ -48,7 +51,7 @@ def test_fpn_pyramid_shapes():
     assert levels[4].shape[1:3] == (2, 3)  # P6 = stride-2 maxpool of P5
 
     fpn7 = FPN(out_channels=256, top_block="p6p7")
-    fp7 = fpn7.init(jax.random.PRNGKey(2), feats[1:])["params"]
+    fp7 = jit_init(fpn7, jax.random.PRNGKey(2), feats[1:])["params"]
     levels7 = fpn7.apply({"params": fp7}, feats[1:])
     assert len(levels7) == 5  # P3..P7
 
@@ -57,7 +60,7 @@ def test_retinanet_head_loss_inference():
     shapes = [(8, 10), (4, 5)]
     feats = [jnp.zeros((1, h, w, 256)) for h, w in shapes]
     head = RetinaNetHead(num_classes=5, num_anchors=9, num_convs=2)
-    params = head.init(jax.random.PRNGKey(0), feats)["params"]
+    params = jit_init(head, jax.random.PRNGKey(0), feats)["params"]
     logits, bbox = head.apply({"params": params}, feats)
     assert logits[0].shape == (1, 8 * 10 * 9, 5)
     assert bbox[1].shape == (1, 4 * 5 * 9, 4)
@@ -88,12 +91,12 @@ def test_mask_head_roundtrip():
     ext = MaskRCNNFPNFeatureExtractor(resolution=14)
     feat = jnp.zeros((1, 16, 20, 64))
     rois = jnp.array([[[16.0, 16.0, 128.0, 128.0], [0.0, 0.0, 64.0, 64.0]]])
-    p = ext.init(jax.random.PRNGKey(0), feat, rois)["params"]
+    p = jit_init(ext, jax.random.PRNGKey(0), feat, rois)["params"]
     x = ext.apply({"params": p}, feat, rois)
     assert x.shape == (1, 2, 14, 14, 256)
 
     pred = MaskRCNNC4Predictor(num_classes=5)
-    pp = pred.init(jax.random.PRNGKey(1), x)["params"]
+    pp = jit_init(pred, jax.random.PRNGKey(1), x)["params"]
     logits = pred.apply({"params": pp}, x)
     assert logits.shape == (1, 2, 28, 28, 5)
 
@@ -112,10 +115,10 @@ def test_keypoint_head_roundtrip():
     ext = KeypointRCNNFeatureExtractor(layers=(64, 64))
     feat = jnp.zeros((1, 16, 20, 32))
     rois = jnp.array([[[0.0, 0.0, 64.0, 64.0]]])
-    p = ext.init(jax.random.PRNGKey(0), feat, rois)["params"]
+    p = jit_init(ext, jax.random.PRNGKey(0), feat, rois)["params"]
     x = ext.apply({"params": p}, feat, rois)
     pred = KeypointRCNNPredictor(num_keypoints=17)
-    pp = pred.init(jax.random.PRNGKey(1), x)["params"]
+    pp = jit_init(pred, jax.random.PRNGKey(1), x)["params"]
     heat = pred.apply({"params": pp}, x)
     assert heat.shape == (1, 1, 56, 56, 17)
 
@@ -159,6 +162,7 @@ def test_keypoints_ops():
     np.testing.assert_allclose(f.keypoints[0, 0, 0], 40 - 10 - 1)
 
 
+@pytest.mark.slow
 def test_fbnet_trunk_and_heads():
     from mega_pytorch_tpu.models.backbone.fbnet import (
         FBNetTrunk,
@@ -172,14 +176,14 @@ def test_fbnet_trunk_and_heads():
     cfg = get_default_cfg()
     trunk = build_fbnet_backbone(cfg)
     x = jnp.zeros((1, 64, 64, 3))
-    p = trunk.init(jax.random.PRNGKey(0), x)["params"]
+    p = jit_init(trunk, jax.random.PRNGKey(0), x)["params"]
     out = trunk.apply({"params": p}, x)
     # default arch: first conv /2, then stage strides 1,2,2,2 → /16, 96 ch
     assert out.shape == (1, 4, 4, 96)
     assert trunk.out_channels == 96
 
     head = build_fbnet_head(cfg, "bbox", in_channels=96)
-    hp = head.init(jax.random.PRNGKey(1), out)["params"]
+    hp = jit_init(head, jax.random.PRNGKey(1), out)["params"]
     ho = head.apply({"params": hp}, out)
     assert ho.shape == (1, 2, 2, 240)  # bbox stage strides 2,1,1 → /2, 240 ch
 
@@ -191,7 +195,7 @@ def test_fbnet_trunk_and_heads():
         "kernel": 3,
     }})
     t2 = FBNetTrunk(arch="tiny_test")
-    p2 = t2.init(jax.random.PRNGKey(2), x)["params"]
+    p2 = jit_init(t2, jax.random.PRNGKey(2), x)["params"]
     o2 = t2.apply({"params": p2}, x)
     assert o2.shape == (1, 16, 16, 16)
 
@@ -236,7 +240,7 @@ def test_flownet_ckpt_ingestion(tmp_path):
 
     net = FlowNetS(method="fgfa")
     x = jnp.zeros((1, 64, 96, 6))
-    init = {"flownet": net.init(jax.random.PRNGKey(0), x)["params"]}
+    init = {"flownet": jit_init(net, jax.random.PRNGKey(0), x)["params"]}
 
     sd = {
         "flow_conv1.weight": torch.randn(64, 6, 7, 7),
@@ -282,7 +286,7 @@ def test_combined_roi_heads_mask_branch():
 
     heads = CombinedROIHeads(mask_on=True, num_classes=5, spatial_scale=1 / 16.0)
     feat = jnp.asarray(np.random.RandomState(0).randn(1, 4, 6, 32), jnp.float32)
-    params = heads.init(
+    params = jit_init(heads,
         jax.random.PRNGKey(0), feat, rois, gt_masks, matched,
         method=heads.mask_losses,
     )["params"]
