@@ -67,23 +67,27 @@ def make_lockstep_step(model) -> Callable:
     def one_lane(params, carry, frames, sizes, gframes, gsizes, reset, gmask,
                  emit):
         # frames arrive as uint8 canvases (4x smaller over the host->device
-        # link); normalization is bit-identical to the host f32 path
-        images = ImageBatch(
-            tensors=normalize_u8_frames(frames, sizes), sizes=sizes
+        # link); normalization is bit-identical to the host f32 path.
+        # local + global are stacked into one batch-2 canvas BEFORE
+        # normalization, so the pair reaches the batched backbone pass with
+        # no post-normalize concatenate (which cost a 0.11 ms/frame layout
+        # copy in the profiled step)
+        both_sizes = jnp.concatenate([sizes, gsizes], 0)
+        both = ImageBatch(
+            tensors=normalize_u8_frames(
+                jnp.concatenate([frames, gframes], 0), both_sizes
+            ),
+            sizes=both_sizes,
         )
-        gimages = ImageBatch(
-            tensors=normalize_u8_frames(gframes, gsizes), sizes=gsizes
-        )
-        # local + global frame through ONE backbone/RPN/res5 pass (identical
-        # per-frame math; keeps the conv pipeline fed)
         entry, g_pooled, g_valid = model.apply(
-            {"params": params}, images, gimages, method=M.precompute_pair
+            {"params": params}, both, method=M.precompute_pair
         )
+        cur_size = sizes[0]
         pushed = model.apply(
-            {"params": params}, carry, entry, images.sizes[0], method=M.push_carry
+            {"params": params}, carry, entry, cur_size, method=M.push_carry
         )
         fresh = model.apply(
-            {"params": params}, entry, images.sizes[0], method=M.init_carry
+            {"params": params}, entry, cur_size, method=M.init_carry
         )
         carry = _tree_select(reset, fresh, pushed)
         updated = model.apply(

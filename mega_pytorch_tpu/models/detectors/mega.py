@@ -255,24 +255,36 @@ class GeneralizedRCNNMEGA(nn.Module):
         pooled = self.extractor.precompute_ref(feats[0], props.boxes[0])
         return pooled, props.valid[0]
 
-    def precompute_pair(self, images: ImageBatch, global_images: ImageBatch):
+    def precompute_pair(self, images: ImageBatch, global_images=None):
         """One local + one global frame through ONE backbone/RPN/res5 pass.
 
         Identical per-frame math to precompute + precompute_global (batch-2
         convolutions are per-sample independent); batching the two passes
         keeps the conv pipeline fed (the steady-state MEGA protocol runs
-        both every frame). Returns (entry, g_pooled, g_valid)."""
+        both every frame). Returns (entry, g_pooled, g_valid).
+
+        Preferred form: ``global_images=None`` with ``images`` already the
+        stacked batch-2 pair (row 0 = local frame, row 1 = global frame) —
+        the engines stack the uint8 frames before normalization, so no
+        device-side concatenate of the two normalized canvases exists (the
+        post-normalize concat cost a 0.11 ms/frame relayout copy in the
+        profiled streaming step)."""
         dt = jnp.dtype(self.c.compute_dtype)
-        both = jnp.concatenate(
-            [images.tensors, global_images.tensors], 0
-        ).astype(dt)
+        if global_images is None:
+            both = images.tensors.astype(dt)
+            cur_sizes, g_sizes = images.sizes[:1], images.sizes[1:]
+        else:
+            both = jnp.concatenate(
+                [images.tensors, global_images.tensors], 0
+            ).astype(dt)
+            cur_sizes, g_sizes = images.sizes, global_images.sizes
         feats = self.backbone(both)  # (2, H', W', 1024)
         objectness, deltas = self.rpn(feats)
         anchors = self._anchors(feats.shape[1], feats.shape[2])
         enhanced = self.extractor.enhance_features(feats)
 
         ref_props, key_props, prefix = shared_ref_key_postprocess(
-            objectness[:1], deltas[:1], anchors, images.sizes,
+            objectness[:1], deltas[:1], anchors, cur_sizes,
             self._ref_sizes(), self._key_sizes(train=False),
         )
         key_feats = self.extractor.fc0(
@@ -294,7 +306,7 @@ class GeneralizedRCNNMEGA(nn.Module):
         g_props = rpn_postprocess(
             jax.lax.stop_gradient(objectness[1:]),
             jax.lax.stop_gradient(deltas[1:]),
-            anchors, global_images.sizes, self._ref_sizes(),
+            anchors, g_sizes, self._ref_sizes(),
         )
         g_pooled = self.extractor.fc0(
             self.extractor.pool_flat(enhanced[1], g_props.boxes[0])
@@ -410,7 +422,16 @@ class GeneralizedRCNNMEGA(nn.Module):
 
     def test_step(self, carry: MEGACarry, images: ImageBatch, global_images=None):
         """Steady state: push one local frame (+ optionally one global frame),
-        then detect at the key slot."""
+        then detect at the key slot.
+
+        A batch-2 ``images`` with ``global_images=None`` is the stacked pair
+        form (row 0 = local, row 1 = global; see precompute_pair) — engines
+        run batch 1 per lane, so the shape is unambiguous."""
+        if global_images is None and images.tensors.shape[0] == 2:
+            entry, g_pooled, g_valid = self.precompute_pair(images)
+            carry = self.push_carry(carry, entry, images.sizes[0])
+            carry = self.apply_global(carry, g_pooled, g_valid)
+            return self.detect_key(carry)
         if (
             global_images is not None
             and global_images.tensors.shape == images.tensors.shape
@@ -468,19 +489,20 @@ def build_mega_flagship(canvas_h: int, canvas_w: int, batch: int = 1):
         )
     )(jax.random.PRNGKey(0), carry, one)["params"]
 
-    def step_one(params, carry, images, gimages):
+    def step_one(params, carry, pair):
         # the full product step (vid_mega.py test protocol): push one local
         # frame AND apply one global-cache update (a second backbone pass)
-        # every frame — matching StreamingInferencer / the lockstep engine
+        # every frame — matching StreamingInferencer / the lockstep engine,
+        # which feeds the stacked batch-2 pair (row 0 local, row 1 global)
         new_carry, dets = model.apply(
-            {"params": params}, carry, images, gimages,
+            {"params": params}, carry, pair,
             method=GeneralizedRCNNMEGA.test_step,
         )
         return new_carry, dets.scores.sum()
 
-    gone = ImageBatch(
-        tensors=jnp.asarray(rs.randn(1, ph, pw, 12) * 50, jnp.float32),
-        sizes=one.sizes,
+    pair = ImageBatch(
+        tensors=jnp.asarray(rs.randn(2, ph, pw, 12) * 50, jnp.float32),
+        sizes=jnp.tile(one.sizes, (2, 1)),
     )
 
     if batch == 1:
@@ -489,29 +511,25 @@ def build_mega_flagship(canvas_h: int, canvas_w: int, batch: int = 1):
             # benchmark can perturb them per iteration — otherwise XLA
             # hoists the loop-invariant backbone passes out of the loop
             carry, images = state
-            return step_one(params, carry, images["local"], images["global"])
+            return step_one(params, carry, images["pair"])
 
-        return fn, params, (carry, {"local": one, "global": gone}), "MEGA R-101 streaming"
+        return fn, params, (carry, {"pair": pair}), "MEGA R-101 streaming"
 
     carries = jax.tree_util.tree_map(
         lambda x: jnp.tile(x[None], (batch,) + (1,) * x.ndim), carry
     )
-    frames = ImageBatch(
-        tensors=jnp.asarray(rs.randn(batch, 1, ph, pw, 12) * 50, jnp.float32),
-        sizes=jnp.tile(one.sizes[None], (batch, 1, 1)),
-    )
-    gframes = ImageBatch(
-        tensors=jnp.asarray(rs.randn(batch, 1, ph, pw, 12) * 50, jnp.float32),
-        sizes=jnp.tile(one.sizes[None], (batch, 1, 1)),
+    pairs = ImageBatch(
+        tensors=jnp.asarray(rs.randn(batch, 2, ph, pw, 12) * 50, jnp.float32),
+        sizes=jnp.tile(one.sizes[None], (batch, 2, 1)),
     )
 
     def fn(params, state):
         carries, images = state
         new_carries, scores = jax.vmap(
-            lambda cr, im, gim: step_one(params, cr, im, gim)
-        )(carries, images["local"], images["global"])
+            lambda cr, im: step_one(params, cr, im)
+        )(carries, images["pair"])
         return new_carries, scores.sum()
 
     return fn, params, (
-        carries, {"local": frames, "global": gframes},
+        carries, {"pair": pairs},
     ), f"MEGA R-101 streaming x{batch} videos"

@@ -44,13 +44,13 @@ def _postprocess_one(
     cls_scores = probs[:, 1:].T  # (C-1, K)
     cls_valid = (cls_scores > score_thresh) & prop_valid[None, :]
 
-    keep_idx, keep_valid = jax.vmap(
-        lambda b, s, v: nms(b, s, v, nms_thresh, per_class_keep)
+    # boxes/scores ride the NMS sorts as payload instead of being gathered
+    # by keep_idx afterwards (TPU dynamic-gather is the bottleneck here —
+    # see ops/nms.py `extras`)
+    _, keep_valid, (kept_boxes, kept_scores) = jax.vmap(
+        lambda b, s, v: nms(b, s, v, nms_thresh, per_class_keep,
+                            extras=(b, s))
     )(cls_boxes, cls_scores, cls_valid)
-
-    gather = jax.vmap(lambda b, i: b[i])
-    kept_boxes = gather(cls_boxes, keep_idx)  # (C-1, P, 4)
-    kept_scores = gather(cls_scores, keep_idx)
     labels = jnp.broadcast_to(
         jnp.arange(1, num_classes, dtype=jnp.int32)[:, None], keep_valid.shape
     )

@@ -150,3 +150,26 @@ def test_chunked_matches_single_peel_random():
             np.asarray(a_idx)[np.asarray(a_val)],
             np.asarray(b_idx)[np.asarray(b_val)],
         )
+
+
+def test_extras_match_gather_semantics():
+    """`extras` payload columns must equal post-hoc gathers at keep_idx —
+    including the garbage-but-deterministic values in invalid slots (the
+    payload rides the same sort rows that keep_idx reports)."""
+    rng = np.random.RandomState(7)
+    n = 300
+    boxes = _random_boxes(rng, n, span=200)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = rng.rand(n) > 0.2
+    idx, val, (kb, ks) = nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+        0.5, 32, extras=(jnp.asarray(boxes), jnp.asarray(scores)),
+    )
+    # baseline: identical selection with no extras
+    idx0, val0 = nms(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.5, 32
+    )
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx0))
+    np.testing.assert_array_equal(np.asarray(val), np.asarray(val0))
+    np.testing.assert_array_equal(np.asarray(kb), boxes[np.asarray(idx)])
+    np.testing.assert_array_equal(np.asarray(ks), scores[np.asarray(idx)])

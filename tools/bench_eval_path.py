@@ -219,10 +219,16 @@ def main():
     # identical arrays XLA CSE's the second backbone pass away and the
     # device number overstates the step rate ~1.4x
     gframes = frames.replace(tensors=frames.tensors[:, :, ::-1] + 1.0)
+    # stacked batch-2 pair per lane (row 0 local, row 1 global) — the form
+    # the lockstep engine feeds test_step (see mega.precompute_pair)
+    pairs = ImageBatch(
+        tensors=jnp.concatenate([frames.tensors, gframes.tensors], axis=1),
+        sizes=jnp.concatenate([frames.sizes, gframes.sizes], axis=1),
+    )
 
-    def step_one(params, carry, images, gimages):
+    def step_one(params, carry, pair):
         new_carry, dets = model.apply(
-            {"params": params}, carry, images, gimages,
+            {"params": params}, carry, pair,
             method=GeneralizedRCNNMEGA.test_step,
         )
         return new_carry, dets.scores.sum()
@@ -232,8 +238,8 @@ def main():
         def body(carry_state, _):
             carries, images = carry_state
             new_carries, scores = jax.vmap(
-                lambda cr, im, gim: step_one(params, cr, im, gim)
-            )(carries, images["local"], images["global"])
+                lambda cr, im: step_one(params, cr, im)
+            )(carries, images["pair"])
             images = jax.tree_util.tree_map(
                 lambda x: x + scores.sum().astype(x.dtype) * 1e-9
                 if jnp.issubdtype(x.dtype, jnp.floating) and x.ndim >= 4
@@ -245,7 +251,7 @@ def main():
         (_, _), scores = jax.lax.scan(body, state, None, length=args.scan_iters)
         return scores.sum()
 
-    state0 = (carries, {"local": frames, "global": gframes})
+    state0 = (carries, {"pair": pairs})
     _ = float(chained(params, state0))  # compile + warmup
     times = []
     for _i in range(3):
