@@ -77,6 +77,11 @@ def test_dff_train_and_stream():
     assert np.isfinite(np.asarray(dets.scores)).all()
 
 
+# slow: FGFA train gradients; the DFF twin below keeps the flow-warp train
+# path in the fast lane, FGFA-specific pieces (embednet, cosine weights,
+# 19-frame aggregation) are covered by test_attention + the slow-lane
+# FGFA execution-parity test.
+@pytest.mark.slow
 def test_fgfa_train_and_stream():
     v = VidConfig(method="fgfa", ref_num=2, all_frame_interval=4, key_frame_location=2)
     model = GeneralizedRCNNFGFA(c=TINY_C, v=v)

@@ -122,6 +122,9 @@ def test_streaming_inference_and_eval_mega(tiny_root):
     assert "all" in result and np.isfinite(result["all"]["map"] + 0)  # nan allowed, finite check soft
 
 
+# slow: base sharded train; the driver dryrun gate compiles this path each
+# round and test_mega_train_step_sharded_over_mesh covers the video method.
+@pytest.mark.slow
 def test_do_train_sharded_over_mesh(tiny_root, tmp_path):
     """Multi-chip path: 8-sample batches sharded over the 8-device CPU mesh,
     plus a TEST_PERIOD validation hook firing."""
@@ -430,6 +433,10 @@ def _windowed_params(model):
     )["params"]
 
 
+# slow: per-method lockstep equality; the MEGA lockstep test is the fast-
+# lane canary for the lane protocol, the method parities live in the slow
+# lane next to these.
+@pytest.mark.slow
 def test_lockstep_matches_serial_rdn(tiny_root):
     from mega_pytorch_tpu.data.datasets.vid import VIDRDNDataset
     from mega_pytorch_tpu.models.detectors.rdn import GeneralizedRCNNRDN
@@ -447,6 +454,7 @@ def test_lockstep_matches_serial_rdn(tiny_root):
     _compare_serial_lockstep(serial, lockstep, indices)
 
 
+@pytest.mark.slow
 def test_lockstep_matches_serial_fgfa(tiny_root):
     from mega_pytorch_tpu.data.datasets.vid import VIDFGFADataset
     from mega_pytorch_tpu.models.detectors.fgfa import GeneralizedRCNNFGFA
@@ -463,6 +471,7 @@ def test_lockstep_matches_serial_fgfa(tiny_root):
     _compare_serial_lockstep(serial, lockstep, indices)
 
 
+@pytest.mark.slow
 def test_lockstep_matches_serial_dff(tiny_root):
     """Phase-aligned DFF lanes: key interval 2 exercises both jitted steps
     and the video-start alignment padding."""

@@ -127,6 +127,10 @@ def _res5_sd(prefix, cin=1024):
     return sd
 
 
+# slow: full R-50 init + whole-tree ingest (~60 s of the fast lane); the
+# slow-lane execution-parity tests ingest live reference weights, and the
+# remaining fast ingest tests cover each rename/layout rule individually.
+@pytest.mark.slow
 def test_full_model_ingestion_covers_every_param():
     """Synthetic reference-named checkpoint → every leaf of the flax tree is
     overwritten with the correct shape (nothing silently kept at init)."""
