@@ -49,7 +49,7 @@ def _postprocess_one(
     # see ops/nms.py `extras`)
     _, keep_valid, (kept_boxes, kept_scores) = jax.vmap(
         lambda b, s, v: nms(b, s, v, nms_thresh, per_class_keep,
-                            extras=(b, s))
+                            extras=(s,), return_boxes=True)
     )(cls_boxes, cls_scores, cls_valid)
     labels = jnp.broadcast_to(
         jnp.arange(1, num_classes, dtype=jnp.int32)[:, None], keep_valid.shape

@@ -96,13 +96,16 @@ def _postprocess_one(
     proposals = RPN_BOX_CODER.decode(box_deltas[top_idx], anchors[top_idx])
     proposals = clip_to_image(proposals, im_size[0], im_size[1])
     valid = small_box_mask(proposals, sizes.min_size)
-    keep_idx, keep_valid = nms(
-        proposals, top_scores, valid, sizes.nms_thresh, sizes.post_nms_top_n
+    # proposals/scores ride the NMS sorts as payload — no post-hoc gathers
+    # (see ops/nms.py `extras`)
+    _, keep_valid, (kept_boxes, kept_scores) = nms(
+        proposals, top_scores, valid, sizes.nms_thresh, sizes.post_nms_top_n,
+        extras=(top_scores,), return_boxes=True,
     )
     return Boxes(
-        boxes=proposals[keep_idx],
+        boxes=kept_boxes,
         valid=keep_valid,
-        fields={"objectness": top_scores[keep_idx]},
+        fields={"objectness": kept_scores},
     )
 
 

@@ -130,7 +130,9 @@ def _peel(bb, vv, iou_threshold):
     return kept
 
 
-@functools.partial(jax.jit, static_argnames=("max_outputs", "chunk"))
+@functools.partial(
+    jax.jit, static_argnames=("max_outputs", "chunk", "return_boxes")
+)
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
@@ -139,6 +141,7 @@ def nms(
     max_outputs: int,
     chunk: int = 1024,
     extras: tuple = (),
+    return_boxes: bool = False,
 ):
     """Greedy NMS with a static output size.
 
@@ -156,11 +159,16 @@ def nms(
         (30 classes x 300 boxes per lane) each post-hoc gather costs
         ~0.11 ms/frame of the MEGA streaming step while a payload column
         through a 300-element sort is ~free.
+      return_boxes: also return the kept boxes (== boxes[keep_idx]); they
+        reuse the box columns already riding the internal sorts, so this is
+        cheaper than passing ``boxes`` through ``extras``.
 
     Returns:
       ``(keep_idx, keep_valid)`` — or ``(keep_idx, keep_valid, kept)`` when
-      ``extras`` is non-empty, where ``kept[i] == extras[i][keep_idx]``
-      (exactly; the slot values for invalid slots match the gather form too).
+      ``return_boxes`` or ``extras`` request payload, where ``kept`` is
+      ``(boxes_kept_if_requested, *extras_kept)`` and each element equals the
+      post-hoc gather ``arr[keep_idx]`` exactly (including the
+      garbage-but-deterministic values in invalid slots).
       keep_idx: (max_outputs,) int32 indices into the input, score-descending.
       keep_valid: (max_outputs,) bool — which slots hold real selections.
     """
@@ -198,33 +206,40 @@ def nms(
     rank = jnp.arange(n)
     pick = jnp.where(kept, n - rank, 0).astype(jnp.int32)
     k = min(max_outputs, n)
+    n_box_cols = 4 if return_boxes else 0
+    box_payload = (
+        tuple(b[:, j] for j in range(4)) if return_boxes else ()
+    )
     picked = jax.lax.sort(
-        (-pick, kept, order, *sorted_extra_cols),
+        (-pick, kept, order, *box_payload, *sorted_extra_cols),
         dimension=0, is_stable=True, num_keys=1,
     )
     keep_valid = picked[1][:k]
     keep_idx = picked[2][:k]
-    kept_extra_cols = [c[:k] for c in picked[3:]]
+    kept_cols = [c[:k] for c in picked[3:]]
     if k < max_outputs:
         pad = max_outputs - k
         keep_idx = jnp.concatenate([keep_idx, jnp.zeros(pad, jnp.int32)])
         keep_valid = jnp.concatenate([keep_valid, jnp.zeros(pad, bool)])
-        kept_extra_cols = [
+        kept_cols = [
             jnp.concatenate([c, jnp.zeros((pad,), c.dtype)])
-            for c in kept_extra_cols
+            for c in kept_cols
         ]
-    if not extras:
+    if not extras and not return_boxes:
         return keep_idx, keep_valid
+    kept_out = []
+    if return_boxes:
+        kept_out.append(jnp.stack(kept_cols[:4], axis=-1))
     # restack (N, D) extras from their columns
-    kept_extras, pos = [], 0
+    pos = n_box_cols
     for e in extras:
         d = e.shape[1] if e.ndim == 2 else 1
-        cols = kept_extra_cols[pos:pos + d]
+        cols = kept_cols[pos:pos + d]
         pos += d
-        kept_extras.append(
+        kept_out.append(
             jnp.stack(cols, axis=-1) if e.ndim == 2 else cols[0]
         )
-    return keep_idx, keep_valid, tuple(kept_extras)
+    return keep_idx, keep_valid, tuple(kept_out)
 
 
 def batched_nms(boxes, scores, valid, iou_threshold: float, max_outputs: int):

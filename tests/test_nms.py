@@ -163,7 +163,7 @@ def test_extras_match_gather_semantics():
     valid = rng.rand(n) > 0.2
     idx, val, (kb, ks) = nms(
         jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
-        0.5, 32, extras=(jnp.asarray(boxes), jnp.asarray(scores)),
+        0.5, 32, extras=(jnp.asarray(scores),), return_boxes=True,
     )
     # baseline: identical selection with no extras
     idx0, val0 = nms(
