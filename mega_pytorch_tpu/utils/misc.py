@@ -152,3 +152,22 @@ def jit_init(module, *args, **static_kwargs):
     import jax
 
     return jax.jit(lambda a: module.init(*a, **static_kwargs))(args)
+
+
+def honor_jax_platforms_env() -> None:
+    """Make ``JAX_PLATFORMS`` effective under sitecustomize-registered
+    backends that override it via ``jax.config`` (the axon TPU relay plugin
+    sets ``jax_platforms="axon,cpu"`` at import time, which silently wins
+    over the env var). The CLI tools call this first, so
+    ``JAX_PLATFORMS=cpu tools/demo.py …`` really runs on CPU — without it,
+    backend init blocks forever on a dead relay tunnel."""
+    import os
+
+    v = os.environ.get("JAX_PLATFORMS")
+    if v:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", v)
+        except Exception:
+            pass  # unknown platform string: keep the default resolution

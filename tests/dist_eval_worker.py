@@ -19,6 +19,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# mirror conftest.py's compile mode: the parent pytest process runs with
+# XLA fast-compile (jax_disable_most_optimizations) by default, and the
+# serial-vs-distributed box comparison is atol 1e-3 — mixing optimization
+# levels between parent and workers drifts contraction order past that
+if not os.environ.get("MEGA_TESTS_FULL_OPT"):
+    jax.config.update("jax_disable_most_optimizations", True)
 jax.distributed.initialize(
     coordinator_address=f"localhost:{port}", num_processes=world, process_id=rank
 )

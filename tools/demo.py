@@ -129,6 +129,9 @@ class FileVideo(FolderVideo):
 
 
 def main():
+    from mega_pytorch_tpu.utils.misc import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     from mega_pytorch_tpu.utils.misc import setup_compilation_cache
 
     setup_compilation_cache()

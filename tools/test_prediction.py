@@ -17,6 +17,9 @@ import numpy as np
 
 
 def main():
+    from mega_pytorch_tpu.utils.misc import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     from mega_pytorch_tpu.utils.misc import setup_compilation_cache
 
     setup_compilation_cache()
