@@ -37,7 +37,9 @@ import numpy as np
 REFERENCE_FPS = 8.73  # MEGA R-101, 2080Ti, 114.5 ms/frame (MEGA paper)
 
 CANVAS_H, CANVAS_W = 608, 1024
-BATCH = 4  # parallel video lanes (vmapped streaming)
+import os
+
+BATCH = int(os.environ.get("MEGA_BENCH_LANES", "4"))  # vmapped video lanes
 ITERS = 16
 
 
