@@ -24,6 +24,7 @@ throughput, not a stripped benchmark.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -35,11 +36,24 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_FPS = 8.73  # MEGA R-101, 2080Ti, 114.5 ms/frame (MEGA paper)
+# No published A100 number exists for MEGA; an A100 is roughly 2.5-3x a
+# 2080Ti on this conv+attention inference workload (bf16/TF32 tensor cores,
+# ~3x HBM bandwidth). We report the CONSERVATIVE end (x3) so vs_a100_equiv
+# understates rather than overstates progress toward the >5x-A100 target.
+A100_OVER_2080TI = 3.0
+A100_EQUIV_FPS = REFERENCE_FPS * A100_OVER_2080TI
 
 CANVAS_H, CANVAS_W = 608, 1024
-import os
 
-BATCH = int(os.environ.get("MEGA_BENCH_LANES", "4"))  # vmapped video lanes
+_lanes_raw = os.environ.get("MEGA_BENCH_LANES", "4")
+try:
+    BATCH = int(_lanes_raw)  # vmapped video lanes
+except ValueError:
+    raise SystemExit(
+        f"MEGA_BENCH_LANES must be an integer >= 1, got {_lanes_raw!r}"
+    )
+if BATCH < 1:
+    raise SystemExit(f"MEGA_BENCH_LANES must be >= 1, got {BATCH}")
 ITERS = 16
 
 
@@ -90,17 +104,19 @@ def main():
             {
                 # vs_baseline is against the only published speed figure:
                 # the MEGA paper's 114.5 ms/frame on a 2080Ti (8.73 fps).
-                # No A100 measurement exists; an A100 is roughly 2.5-3x a
-                # 2080Ti on this workload, so divide by ~2.75 for an
-                # A100-normalized multiple.
+                # vs_a100_equiv divides by a conservative 3x-2080Ti A100
+                # stand-in — the number the >5x-A100 north star is judged on.
                 "metric": (
                     f"VID inference frames/sec/chip ({label}, "
-                    f"{CANVAS_H}x{CANVAS_W}; baseline = MEGA paper 2080Ti "
-                    f"8.73 fps)"
+                    f"{CANVAS_H}x{CANVAS_W}, {BATCH} lanes; baseline = "
+                    f"MEGA paper 2080Ti 8.73 fps)"
                 ),
                 "value": round(fps, 2),
                 "unit": "frames/sec",
+                "lanes": BATCH,
                 "vs_baseline": round(fps / REFERENCE_FPS, 3),
+                "vs_2080ti": round(fps / REFERENCE_FPS, 3),
+                "vs_a100_equiv": round(fps / A100_EQUIV_FPS, 3),
             }
         )
     )

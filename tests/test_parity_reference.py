@@ -96,6 +96,14 @@ def classify_unmatched(ref, ours, unmatched, used, nms_thresh=0.5,
       nms-tiebreak  — a MATCHED detection of the same label overlaps this one
                       above the NMS threshold: the two stacks kept different
                       members of a suppression cluster (tie within noise).
+                      Also covers the second-order cascade: an UNUSED our-side
+                      detection of the same label overlaps it above the NMS
+                      threshold at a score within `score_loose` — both stacks
+                      detected the same thing at the same confidence but kept
+                      different (mutually-suppressing) cluster members after a
+                      near-tie flipped the greedy suppression order upstream.
+                      Requiring BOTH the score agreement and the >thresh IoU
+                      keeps real drift out of this bucket.
       tie-cluster   — the score belongs to an EXACT multi-member tie (e.g.
                       the 210-strong uniform-softmax 1/31 cluster of
                       degenerate edge-clipped boxes that random-weight
@@ -126,6 +134,15 @@ def classify_unmatched(ref, ours, unmatched, used, nms_thresh=0.5,
         if kept_same.any():
             iou = _np_box_iou(r_boxes[i][None], o_boxes[kept_same])[0]
             if (iou > nms_thresh).any():
+                counts["nms-tiebreak"] += 1
+                continue
+        # second-order cascade: ours kept a DIFFERENT member of the same
+        # suppression cluster (same label, score within noise, mutual
+        # IoU above the suppression threshold)
+        if same.any():
+            iou = _np_box_iou(r_boxes[i][None], o_boxes[same])[0]
+            s = np.abs(r_scores[i] - o_scores[same])
+            if ((iou > nms_thresh) & (s < score_loose)).any():
                 counts["nms-tiebreak"] += 1
                 continue
         ties_r = int(np.sum(np.abs(r_scores - r_scores[i]) < 1e-6))
@@ -484,12 +501,9 @@ def test_mega_streaming_parity(tmp_path):
 
     our_outs = _run_ours_mega(params, model, frames)
 
-    for f, (ref, ours) in enumerate(zip(ref_outs, our_outs)):
-        matched, n_ref, n_ours, box_err = match_detections(ref, ours)
-        assert n_ref > 10, (f, n_ref)
-        assert matched >= 0.97 * n_ref, (f, matched, n_ref, n_ours)
-        assert abs(n_ours - n_ref) <= max(2, 0.03 * n_ref), (f, n_ref, n_ours)
-        assert box_err < 1.0, (f, box_err)
+    # same classified standard as DFF/FGFA/RDN: every residual root-caused,
+    # zero unexplained DRIFT, matched+explained >= 99.5% (VERDICT r3 next #2)
+    _assert_frames_match(ref_outs, our_outs)
 
 
 # -- DFF / FGFA / RDN streaming parity (VERDICT r2 missing #2) -----------------

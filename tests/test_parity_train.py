@@ -290,6 +290,28 @@ def test_base_train_parity():
     _grad_compare(ref_model, our_grads)
 
 
+def _cond_movement(gradf, params, our_grads):
+    """Per-leaf gradient CONDITIONING floor: rerun the SAME compiled grad with
+    a 1e-6 relative rademacher jitter; the movement measures how chaotic each
+    leaf's backward is (stacked attention-softmax stages amplify fp32
+    rounding — probe at MEGA shapes: l_attn_0 moves ~30%, median leaf 6e-3,
+    losses <3e-6). Feed the result to _grad_compare(cond_tree=...)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    jittered = jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            leaf
+            * (1.0 + 1e-6 * jax.random.rademacher(k, leaf.shape, jnp.float32))
+            for leaf, k in zip(leaves, keys)
+        ],
+    )
+    _, jit_grads = gradf(jittered)
+    return jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a) - np.asarray(b), our_grads, jit_grads
+    )
+
+
 # -- MEGA train parity ---------------------------------------------------------
 
 T_L, T_M, T_G = 2, 3, 2  # local refs, memory frames, global frames
@@ -413,3 +435,170 @@ def test_mega_train_parity(tmp_path):
 
     _loss_compare(ref_losses, our_losses, atol=5e-4)
     _grad_compare(ref_model, our_grads, cond_tree=movement)
+
+
+# -- DFF / FGFA / RDN train parity (VERDICT r3 next #4) -------------------------
+
+
+def _il_frames(frames, f):
+    from mega_core.structures.image_list import to_image_list
+
+    t = torch.from_numpy(
+        np.ascontiguousarray(_norm_rgb(frames[f]).transpose(2, 0, 1))
+    )
+    return to_image_list([t])
+
+
+def _our_frames(frames, ids):
+    from mega_pytorch_tpu.structures.image_list import ImageBatch
+
+    return ImageBatch(
+        tensors=np.stack([_norm_rgb(frames[f]) for f in ids]),
+        sizes=np.tile(
+            np.array([[float(H_M), float(W_M)]], np.float32), (len(ids), 1)
+        ),
+    )
+
+
+def _run_train_parity(ref_model, model, batch, loss_atol=2e-4, use_cond=False):
+    """Shared tail: backward on the reference, value_and_grad on ours,
+    losses + gradients compared (conditioning-floored when use_cond)."""
+    ref_losses = ref_model(
+        {k: v for k, v in batch["ref_images"].items()}, [_ref_target(H_M, W_M)]
+    )
+    sum(ref_losses.values()).backward()
+
+    gt = _our_gt()
+    rng = jax.random.PRNGKey(0)
+    params = _ingest_train(ref_model, model, (batch["our_images"], gt, rng))
+
+    def losses_fn(p):
+        d = model.apply({"params": p}, batch["our_images"], gt, rng, train=True)
+        return sum(d.values()), d
+
+    gradf = jax.jit(lambda p: jax.value_and_grad(losses_fn, has_aux=True)(p))
+    (_, our_losses), our_grads = gradf(params)
+
+    cond = _cond_movement(gradf, params, our_grads) if use_cond else None
+    _loss_compare(ref_losses, our_losses, atol=loss_atol)
+    _grad_compare(ref_model, our_grads, cond_tree=cond)
+
+
+@pytest.mark.slow
+def test_dff_train_parity():
+    """DFF train step: losses AND gradients — through FlowNetS, the bilinear
+    warp and the scale-map modulation (generalized_rcnn_dff.py:61-95) — match
+    the reference's autograd. The backbone only sees the REF frame; FlowNetS
+    sees the (cur/255, ref/255) pair."""
+    from mega_pytorch_tpu.models.detectors.dff import GeneralizedRCNNDFF
+    from mega_pytorch_tpu.models.detectors.rdn import VidConfig
+
+    frames = _video_frames(seed=31)
+    load_reference()
+    from mega_core.modeling.detector import build_detection_model
+    from test_parity_reference import _temper
+
+    torch.manual_seed(0)
+    cfg = _ref_train_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNNDFF"
+    cfg.MODEL.VID.ENABLE = True
+    cfg.MODEL.VID.METHOD = "dff"
+    # tempered like every video parity test: both stacks ingest the SAME
+    # weights so parity is unaffected (see _ref_mega_model notes)
+    ref_model = _temper(build_detection_model(cfg))
+    ref_model.train()
+
+    model = GeneralizedRCNNDFF(c=_our_train_cfg(), v=VidConfig(method="dff"))
+    _run_train_parity(
+        ref_model,
+        model,
+        {
+            "ref_images": {
+                "cur": _il_frames(frames, 0),
+                "ref": [_il_frames(frames, 1)],
+            },
+            "our_images": _our_frames(frames, [0, 1]),
+        },
+    )
+
+
+@pytest.mark.slow
+def test_fgfa_train_parity():
+    """FGFA train step: losses AND gradients — through FlowNetS flow to every
+    ref, the warp, EmbedNet and the softmaxed cosine aggregation weights
+    (generalized_rcnn_fgfa.py:107-142) — match the reference's autograd."""
+    from mega_pytorch_tpu.models.detectors.fgfa import GeneralizedRCNNFGFA
+    from mega_pytorch_tpu.models.detectors.rdn import VidConfig
+
+    frames = _video_frames(seed=33)
+    load_reference()
+    from mega_core.modeling.detector import build_detection_model
+    from test_parity_reference import _temper
+
+    torch.manual_seed(0)
+    cfg = _ref_train_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNNFGFA"
+    cfg.MODEL.VID.ENABLE = True
+    cfg.MODEL.VID.METHOD = "fgfa"
+    ref_model = _temper(build_detection_model(cfg))
+    ref_model.train()
+
+    model = GeneralizedRCNNFGFA(c=_our_train_cfg(), v=VidConfig(method="fgfa"))
+    _run_train_parity(
+        ref_model,
+        model,
+        {
+            "ref_images": {
+                "cur": _il_frames(frames, 0),
+                "ref": [_il_frames(frames, 1), _il_frames(frames, 2)],
+            },
+            "our_images": _our_frames(frames, [0, 1, 2]),
+        },
+    )
+
+
+@pytest.mark.slow
+def test_rdn_train_parity():
+    """RDN train step (key RPN + ref RPN on cur and refs, stacked relation
+    attention in the box head, generalized_rcnn_rdn.py:75-106): losses AND
+    gradients match — in particular the stop_gradient on the ref-RPN path
+    (rpn.py:240-243). Gradient tolerances are conditioning-bounded like MEGA's
+    (stacked attention-softmax backward is fp32-chaotic; see _grad_compare)."""
+    from mega_pytorch_tpu.models.detectors.rdn import GeneralizedRCNNRDN, VidConfig
+
+    frames = _video_frames(seed=35)
+    load_reference()
+    from mega_core.modeling.detector import build_detection_model
+    from test_parity_reference import _temper
+
+    torch.manual_seed(0)
+    cfg = _ref_train_cfg()
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNNRDN"
+    cfg.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR = "RDNFeatureExtractor"
+    cfg.MODEL.VID.ENABLE = True
+    cfg.MODEL.VID.METHOD = "rdn"
+    cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION.ENABLE = True
+    cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION.STAGE = STAGES_TRAIN
+    cfg.MODEL.VID.RPN.REF_PRE_NMS_TOP_N = 300
+    cfg.MODEL.VID.RPN.REF_POST_NMS_TOP_N = REF_POST_TRAIN
+    ref_model = _temper(build_detection_model(cfg))
+    ref_model.train()
+
+    c = _our_train_cfg(
+        ref_pre_nms_top_n=300, ref_post_nms_top_n=REF_POST_TRAIN,
+    )
+    v = VidConfig(method="rdn", base_stage=STAGES_TRAIN, advanced_stage=0)
+    model = GeneralizedRCNNRDN(c=c, v=v)
+    _run_train_parity(
+        ref_model,
+        model,
+        {
+            "ref_images": {
+                "cur": _il_frames(frames, 0),
+                "ref": [_il_frames(frames, 1), _il_frames(frames, 2)],
+            },
+            "our_images": _our_frames(frames, [0, 1, 2]),
+        },
+        loss_atol=5e-4,
+        use_cond=True,
+    )
