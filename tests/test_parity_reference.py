@@ -586,10 +586,14 @@ def _il(frames, f):
     return to_image_list([t])
 
 
-@pytest.mark.slow
 def test_dff_streaming_parity():
     """DFF key/non-key protocol: flow warp x scale-map modulation
-    (generalized_rcnn_dff.py:96-138) matches frame-by-frame."""
+    (generalized_rcnn_dff.py:96-138) matches frame-by-frame.
+
+    Fast-lane resident (VERDICT r3 next #6): with the warm compilation cache
+    this runs in ~1 min, and a default `pytest -m "not slow"` run must fail
+    if reference streaming semantics drift (cold cache adds one-time XLA
+    compiles, ~3 min)."""
     from mega_pytorch_tpu.models.detectors.dff import GeneralizedRCNNDFF
     from mega_pytorch_tpu.models.detectors.rdn import VidConfig
 
@@ -754,9 +758,15 @@ def test_fgfa_streaming_parity(tmp_path):
 
 
 @pytest.mark.slow
-def test_rdn_streaming_parity(tmp_path):
+@pytest.mark.parametrize("advanced_stage", [0, 1])
+def test_rdn_streaming_parity(tmp_path, advanced_stage):
     """RDN windowed relation-attention protocol at T_WIN=4
-    (generalized_rcnn_rdn.py:108-190) matches frame-by-frame."""
+    (generalized_rcnn_rdn.py:108-190) matches frame-by-frame.
+
+    advanced_stage=1 additionally exercises the distillation path the shipped
+    RDN config uses (top-RATIO refs refined against all refs, then attended —
+    roi_box_feature_extractors.py:346-454) against the live reference,
+    including ingestion of the extra fcs/attention modules (VERDICT r3 #3)."""
     from mega_pytorch_tpu.models.detectors.rdn import GeneralizedRCNNRDN, VidConfig
 
     frames = _video_frames(seed=9)
@@ -773,6 +783,7 @@ def test_rdn_streaming_parity(tmp_path):
     cfg.MODEL.VID.METHOD = "rdn"
     cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION.ENABLE = True
     cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION.STAGE = STAGES
+    cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION.ADVANCED_STAGE = advanced_stage
     cfg.MODEL.VID.RPN.REF_PRE_NMS_TOP_N = MEGA_PRE
     cfg.MODEL.VID.RPN.REF_POST_NMS_TOP_N = REF_POST
     cfg.MODEL.VID.RDN.ALL_FRAME_INTERVAL = T_WIN
@@ -788,7 +799,7 @@ def test_rdn_streaming_parity(tmp_path):
         ref_post_nms_top_n=REF_POST,
     )
     v = VidConfig(
-        method="rdn", base_stage=STAGES, advanced_stage=0,
+        method="rdn", base_stage=STAGES, advanced_stage=advanced_stage,
         all_frame_interval=T_WIN, key_frame_location=K_LOC,
     )
     model = GeneralizedRCNNRDN(c=c, v=v)
