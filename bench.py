@@ -45,7 +45,11 @@ A100_EQUIV_FPS = REFERENCE_FPS * A100_OVER_2080TI
 
 CANVAS_H, CANVAS_W = 608, 1024
 
-_lanes_raw = os.environ.get("MEGA_BENCH_LANES", "4")
+# default 12 lanes: measured optimum of the round-4 sweep (fps/chip:
+# 4→101.3, 6→90.3, 8→96.7, 12→108.6, 16→102.8, 20→108.0, 24→107.1 — vmapped
+# lanes batch the sort/NMS/attention ops while the conv batch moves through
+# better and worse tiling points; see MFU.md)
+_lanes_raw = os.environ.get("MEGA_BENCH_LANES", "12")
 try:
     BATCH = int(_lanes_raw)  # vmapped video lanes
 except ValueError:
@@ -54,7 +58,10 @@ except ValueError:
     )
 if BATCH < 1:
     raise SystemExit(f"MEGA_BENCH_LANES must be >= 1, got {BATCH}")
-ITERS = 16
+# scan length: one chained jit call = ITERS steps synchronized by a single
+# scalar fetch; 32 keeps the ~30 ms relay round-trip under 0.1 ms/frame at
+# the default lane count (it measures the tunnel otherwise, not the chip)
+ITERS = 32
 
 
 def _build_flagship():

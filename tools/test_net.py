@@ -34,8 +34,9 @@ def main():
         help="score class-agnostic proposal recall instead of AP",
     )
     parser.add_argument(
-        "--lanes", type=int, default=4,
-        help="parallel video lanes for lockstep streaming (mega)",
+        "--lanes", type=int, default=12,
+        help="parallel video lanes for lockstep streaming "
+        "(12 = measured v5e optimum, see MFU.md)",
     )
     parser.add_argument("--shard", type=int, default=0)
     parser.add_argument("--num-shards", type=int, default=1)
