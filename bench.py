@@ -67,7 +67,9 @@ ITERS = 32
 def _build_flagship():
     """Flagship: MEGA R-101 steady-state streaming step (one frame per step)."""
     from mega_pytorch_tpu.models.detectors.mega import build_mega_flagship
+    from mega_pytorch_tpu.utils.misc import setup_compilation_cache
 
+    setup_compilation_cache()  # the 12-lane graph takes minutes cold
     fn, params, state, label = build_mega_flagship(CANVAS_H, CANVAS_W, BATCH)
     return fn, params, state, label
 

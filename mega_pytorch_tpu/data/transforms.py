@@ -109,30 +109,38 @@ def preprocess_image_u8(
     )
 
 
-def s2d_pack_frames(frames: np.ndarray) -> np.ndarray:
-    """Host-side space-to-depth(2): (..., H, W, 3) uint8 canvas →
-    (..., H/2, W/2, 12) with channel packing (a*2 + b)*3 + c for input pixel
-    (2p + a, 2q + b, c) — the layout models.backbone.resnet.s2d_stem_kernel
-    reformulates the stem conv for. Packing on the HOST (a cheap numpy
-    shuffle in the producer thread) is what makes the trick pay: the round-2
-    on-device attempt lost 14 fps to XLA relayouts of the full-res tensor."""
+def s2d_pack_frames(frames: np.ndarray, factor: int = 2) -> np.ndarray:
+    """Host-side space-to-depth(factor): (..., H, W, 3) uint8 canvas →
+    (..., H/f, W/f, 3f²) with channel packing (a*f + b)*3 + c for input pixel
+    (f*p + a, f*q + b, c) — the layout models.backbone.resnet's
+    s2d_stem_kernel / s2d4_stem_kernel reformulate the stem conv for.
+    Packing on the HOST (a cheap numpy shuffle in the producer thread) is
+    what makes the trick pay: the round-2 on-device attempt lost 14 fps to
+    XLA relayouts of the full-res tensor. factor=4 is the production form
+    (3x3x48→256 stem conv: the depth-432 contraction packs the MXU where the
+    factor-2 form's depth-12 ran at ~10% MFU)."""
+    f = factor
     *lead, h, w, c = frames.shape
-    out = frames.reshape(*lead, h // 2, 2, w // 2, 2, c)
-    out = np.moveaxis(out, -4, -3)  # (..., H/2, W/2, 2, 2, c)
-    return np.ascontiguousarray(out).reshape(*lead, h // 2, w // 2, 4 * c)
+    out = frames.reshape(*lead, h // f, f, w // f, f, c)
+    out = np.moveaxis(out, -4, -3)  # (..., H/f, W/f, f, f, c)
+    return np.ascontiguousarray(out).reshape(*lead, h // f, w // f, f * f * c)
 
 
 # packed-channel index of BGR-flipped channel: group g keeps its phase, the
 # RGB triple inside flips (frames[..., ::-1] of the unpacked path)
-_S2D_BGR_PERM = tuple(g * 3 + (2 - c) for g in range(4) for c in range(3))
+_S2D_BGR_PERM = {
+    f: tuple(g * 3 + (2 - c) for g in range(f * f) for c in range(3))
+    for f in (2, 4)
+}
 
 
 def normalize_u8_frames(frames, sizes, pixel_mean=None):
     """Device-side half of preprocess_image_u8: uint8 RGB canvas → BGR255
     mean-subtracted f32 with the padded region zeroed (matching the host
     path, which pads AFTER normalization). frames (..., H, W, 3) uint8 —
-    or the s2d(2)-packed (..., H/2, W/2, 12) form, where the pad mask is
-    evaluated per packed phase (row 2p+a, col 2q+b). sizes (..., 2) [oh, ow]."""
+    or an s2d(f)-packed (..., H/f, W/f, 3f²) form (f ∈ {2, 4}), where the pad
+    mask is evaluated per packed phase (row f·p+a, col f·q+b).
+    sizes (..., 2) [oh, ow]."""
     import jax.numpy as jnp
 
     mean = jnp.asarray(
@@ -141,18 +149,22 @@ def normalize_u8_frames(frames, sizes, pixel_mean=None):
     h, w = frames.shape[-3], frames.shape[-2]
     oh = sizes[..., 0:1]  # (..., 1)
     ow = sizes[..., 1:2]
-    if frames.shape[-1] == 12:
-        x = frames[..., _S2D_BGR_PERM].astype(jnp.float32) - jnp.tile(mean, 4)
+    if frames.shape[-1] in (12, 48):
+        nc = frames.shape[-1]
+        f = 2 if nc == 12 else 4
+        x = frames[..., _S2D_BGR_PERM[f]].astype(jnp.float32) - jnp.tile(
+            mean, f * f
+        )
         iy = jnp.arange(h, dtype=jnp.float32)
         ix = jnp.arange(w, dtype=jnp.float32)
-        # channel ch belongs to phase (a, b) = (ch//6, (ch//3) % 2)
-        a = jnp.asarray([ch // 6 for ch in range(12)], jnp.float32)
-        b = jnp.asarray([(ch // 3) % 2 for ch in range(12)], jnp.float32)
-        mask_y = (2.0 * iy[None, :, None] + a[None, None, :]) < oh[..., None]
-        mask_x = (2.0 * ix[None, :, None] + b[None, None, :]) < ow[..., None]
+        # channel ch belongs to phase (a, b) = (ch//(3f), (ch//3) % f)
+        a = jnp.asarray([ch // (3 * f) for ch in range(nc)], jnp.float32)
+        b = jnp.asarray([(ch // 3) % f for ch in range(nc)], jnp.float32)
+        mask_y = (f * iy[None, :, None] + a[None, None, :]) < oh[..., None]
+        mask_x = (f * ix[None, :, None] + b[None, None, :]) < ow[..., None]
         mask = (
-            mask_y.reshape(*frames.shape[:-3], h, 1, 12)
-            & mask_x.reshape(*frames.shape[:-3], 1, w, 12)
+            mask_y.reshape(*frames.shape[:-3], h, 1, nc)
+            & mask_x.reshape(*frames.shape[:-3], 1, w, nc)
         )
         return jnp.where(mask, x, 0.0)
     x = frames[..., ::-1].astype(jnp.float32) - mean

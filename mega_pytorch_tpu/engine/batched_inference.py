@@ -184,18 +184,18 @@ class _LaneFeed:
     reset (bool), gmask (bool), emit (dataset idx or None), orig_hw."""
 
     def __init__(self, dataset, preprocessor, videos: list[list[int]],
-                 warmup: int, use_global: bool = True, pack: bool = False):
+                 warmup: int, use_global: bool = True, pack: int = 0):
         self.dataset = dataset
         self.prep = preprocessor
         self.videos = videos
         self.warmup = warmup
         self.use_global = use_global
-        self.pack = pack  # host-side s2d(2) for the packed-stem fast path
+        self.pack = pack  # host-side s2d factor (0 = unpacked, 2 or 4)
 
     def _frame(self, pattern, fid):
         p = self.prep._prep_u8(self.dataset.load_frame(pattern, fid), flip=False)
         if self.pack:
-            return s2d_pack_frames(p.image), p.size
+            return s2d_pack_frames(p.image, self.pack), p.size
         return p.image, p.size
 
     def _globals(self, idx):
@@ -309,15 +309,18 @@ def compute_on_dataset_lockstep(
     for canvas_shape, group in groups.items():
         bins, max_steps = _partition(group, lanes, warmup)
         n_lanes = len(bins)
-        # host-side s2d(2) frame packing: the stem then runs its exact 4x4/1
-        # reformulation (resnet.s2d_stem_kernel) — the 7x7/2-on-3-channels
-        # form measures 4% MFU. Methods whose carries/flownet consume raw
+        # host-side s2d frame packing: the stem then runs its exact packed
+        # reformulation (resnet.s2d4_stem_kernel / s2d_stem_kernel) — the
+        # 7x7/2-on-3-channels form measures 4% MFU, the s2d(2) 4x4x12 form
+        # ~10%, the s2d(4) 3x3x48 form packs a depth-432 MXU contraction and
+        # fuses the maxpool. Methods whose carries/flownet consume raw
         # images (fgfa, dff) stay unpacked.
-        pack = (
-            v.method in ("mega", "rdn")
-            and canvas_shape[0] % 2 == 0
-            and canvas_shape[1] % 2 == 0
-        )
+        pack = 0
+        if v.method in ("mega", "rdn"):
+            if canvas_shape[0] % 4 == 0 and canvas_shape[1] % 4 == 0:
+                pack = 4
+            elif canvas_shape[0] % 2 == 0 and canvas_shape[1] % 2 == 0:
+                pack = 2
         feeds = [
             iter(
                 _LaneFeed(

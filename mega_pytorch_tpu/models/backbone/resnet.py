@@ -137,6 +137,38 @@ def s2d_stem_kernel(w7: jnp.ndarray) -> jnp.ndarray:
     return w4
 
 
+def s2d4_stem_kernel(w7: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange the canonical stem kernel (7, 7, C, O) into the exact
+    space-to-depth-4 equivalent (3, 3, 16C, 4O).
+
+    One s2d(4) cell covers a 4x4 input patch = 2x2 stem-conv output
+    positions, so the 7x7 stride-2 pad-3 conv becomes a 3x3 stride-1 pad-1
+    conv over 16C channels producing 4O channels: output block (a', b')
+    holds output position (2t+a', 2u+b'). Input channel (a*4+b)*C+c is pixel
+    (4p+a, 4q+b, c) (s2d_pack_frames factor=4). Tap algebra per dimension:
+    output row 2t+a' reads input row 2(2t+a')-3+u = 4(t+d)+a with
+    (d, a) = divmod(2a'-3+u, 4); offsets beyond the canonical +-3 zero-pad
+    (4d+a in {-4, 6, 7}) never occur and stay zero, so cell zero-padding is
+    exact. The depth-432 contraction packs the MXU (the factor-2 form's
+    depth-12/48-tap conv measured ~10% MFU); exactness incl. padding is
+    locked in tests/test_backbone.py."""
+    c, o = w7.shape[2], w7.shape[3]
+    w3 = jnp.zeros((3, 3, 16 * c, 4 * o), w7.dtype)
+    for ap in range(2):
+        for u in range(7):
+            du, a = divmod(2 * ap - 3 + u, 4)
+            for bp in range(2):
+                for v in range(7):
+                    dv, b = divmod(2 * bp - 3 + v, 4)
+                    w3 = w3.at[
+                        du + 1,
+                        dv + 1,
+                        (a * 4 + b) * c : (a * 4 + b + 1) * c,
+                        (ap * 2 + bp) * o : (ap * 2 + bp + 1) * o,
+                    ].set(w7[u, v])
+    return w3
+
+
 class _StemConv1(nn.Module):
     """Declares the canonical (7, 7, 3, features) stem kernel at the
     state-dict path <stem>/conv1/kernel without binding it to one conv form."""
@@ -172,6 +204,34 @@ class Stem(nn.Module):
         # canonical kernel param at the torch state-dict path stem/conv1/
         # (same default init as nn.Conv), shared by both conv forms
         w7 = _StemConv1(name="conv1", features=self.out_channels)()
+        if x.shape[-1] == 48:  # s2d(4)-packed RGB → exact 3x3/1 reformulation
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                s2d4_stem_kernel(w7).astype(self.dtype),
+                window_strides=(1, 1),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )  # (N, H/4, W/4, 4*O): blocks (a', b') of O
+            n, t, u, _ = y.shape
+            o = self.out_channels
+            y = y.reshape(n, t, u, 2, 2, o)
+            y = make_norm(self.norm, o, self.dtype, "bn1")(y)
+            y = nn.relu(y)
+            # fused 3x3/2 pad-1 maxpool straight on the packed phases: pool
+            # output row t covers stem rows 2t-1..2t+1 = phases (t-1, a'=1),
+            # (t, a'=0), (t, a'=1) — shifted elementwise maxes replace the
+            # reduce_window AND the depth-to-space relayout the unpacked
+            # form would need (0.15 + 0.08 ms/frame in the r4 profile)
+            neg = jnp.asarray(jnp.finfo(y.dtype).min, y.dtype)
+            prev_r = jnp.concatenate(
+                [jnp.full_like(y[:, :1, :, 1], neg), y[:, :-1, :, 1]], axis=1
+            )
+            r = jnp.maximum(jnp.maximum(y[:, :, :, 0], y[:, :, :, 1]), prev_r)
+            # r: (N, T, U, b', O); shift the b'=1 plane one cell along U
+            prev_c = jnp.concatenate(
+                [jnp.full_like(r[:, :, :1, 1], neg), r[:, :, :-1, 1]], axis=2
+            )
+            return jnp.maximum(jnp.maximum(r[..., 0, :], r[..., 1, :]), prev_c)
         if x.shape[-1] == 12:  # s2d(2)-packed RGB → exact 4x4/1 reformulation
             x = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),

@@ -464,11 +464,12 @@ def build_mega_flagship(canvas_h: int, canvas_w: int, batch: int = 1):
     )
     model = GeneralizedRCNNMEGA(c=c, v=v)
     rs = np.random.RandomState(0)
-    # frames arrive s2d(2)-packed (H/2, W/2, 12), matching the lockstep
-    # engine's host-packed feed → the stem runs its 4x4/1 reformulation
-    ph, pw = canvas_h // 2, canvas_w // 2
+    # frames arrive s2d(4)-packed (H/4, W/4, 48), matching the lockstep
+    # engine's host-packed feed → the stem runs its 3x3x48 reformulation
+    # with the fused packed maxpool (resnet.s2d4_stem_kernel)
+    ph, pw = canvas_h // 4, canvas_w // 4
     one = ImageBatch(
-        tensors=jnp.asarray(rs.randn(1, ph, pw, 12) * 50, jnp.float32),
+        tensors=jnp.asarray(rs.randn(1, ph, pw, 48) * 50, jnp.float32),
         sizes=jnp.array([[600.0, 1000.0]], jnp.float32),
     )
     # two-phase init: precompute params suffice to build a carry, then a full
@@ -501,7 +502,7 @@ def build_mega_flagship(canvas_h: int, canvas_w: int, batch: int = 1):
         return new_carry, dets.scores.sum()
 
     pair = ImageBatch(
-        tensors=jnp.asarray(rs.randn(2, ph, pw, 12) * 50, jnp.float32),
+        tensors=jnp.asarray(rs.randn(2, ph, pw, 48) * 50, jnp.float32),
         sizes=jnp.tile(one.sizes, (2, 1)),
     )
 
@@ -519,7 +520,7 @@ def build_mega_flagship(canvas_h: int, canvas_w: int, batch: int = 1):
         lambda x: jnp.tile(x[None], (batch,) + (1,) * x.ndim), carry
     )
     pairs = ImageBatch(
-        tensors=jnp.asarray(rs.randn(batch, 2, ph, pw, 12) * 50, jnp.float32),
+        tensors=jnp.asarray(rs.randn(batch, 2, ph, pw, 48) * 50, jnp.float32),
         sizes=jnp.tile(one.sizes[None], (batch, 2, 1)),
     )
 

@@ -13,12 +13,14 @@ tensors are ~160 MB each; materializing them and running the softmax over
 HBM dominates the XLA pipeline. This kernel streams K/V tiles through VMEM
 with an online softmax (running max / running sum — the flash-attention
 recurrence) and, in the PRODUCTION "compute" mode, evaluates the position
-bias per tile (geometry → polynomial sinusoids → per-query-row MXU Wg
-contraction; see _tile_log_bias / _sincos), so neither the logits nor the
-bias ever exist in HBM. Measured on v5e at stage-0 shapes: 2.15 ms vs
-6.74 ms for the XLA-bias + input-bias-flash pair. The "input" mode (bias as
-a precomputed operand) remains for the no-position global-attention path
-and as the comparison baseline.
+weight per tile (geometry → polynomial sinusoids → one MXU Wg contraction
+per row-chunk; see _tile_bias_weight / _sincos) and multiplies it into the
+exponentials (softmax(qk + log pw) == pw·e^{qk−m}/Σ — same math, no log),
+so neither the logits nor the bias ever exist in HBM. Measured on v5e at
+stage-0 shapes: 2.15 ms vs 6.74 ms for the XLA-bias + input-bias-flash pair
+(additive log form; the multiplicative form is faster still — see MFU.md).
+The "input" mode (bias as a precomputed log-space operand) remains for the
+no-position global-attention path and as the comparison baseline.
 
 Batching: the streaming engines vmap the whole per-frame step over video
 lanes, so the kernel supports an explicit leading lane dimension (grid =
@@ -47,6 +49,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+# query-row chunk for the in-kernel position-bias slab (see chunk_bias)
+_BIAS_CHUNK = 32
 
 
 def _geometry(r):
@@ -86,23 +90,31 @@ def _sincos(x):
     return s, c
 
 
-def _tile_log_bias(rois, refs, wt_ref, wb_ref, groups, num_freq):
-    """(TN, 4) x (TM, 4) boxes → (g, TN, TM) log position bias, in-register.
+def _tile_bias_weight(rois, refs, wt_ref, wb_ref, groups, num_freq):
+    """(TN, 4) x (TM, 4) boxes → (g, TN, TM) position weight pw, in-register.
+
+    Returns pw = relu(Wg · sinusoid(position_matrix)) + 1e-6 — NOT its log:
+    softmax(qk + log pw) == (pw · exp(qk − m)) / Σ(pw · exp(qk − m)), so the
+    kernel multiplies pw into the exponentials instead of adding log pw to
+    the logits. Exact same math, and it deletes g·N·M log evaluations per
+    call (~0.5 G transcendentals at MEGA stage-0 x12 lanes — the single
+    largest VPU term after the sinusoids).
 
     wt_ref: (g, E) VMEM ref — Wg TRANSPOSED, columns ordered (channel,
     sin|cos, freq) to match the reference's concat layout; wb_ref its (g, 1)
-    VMEM bias. The whole tile's sinusoid slab (E, TN*TM) is built in one
+    VMEM bias. Each chunk's sinusoid slab (E, rows*TM) is built in one
     vectorized pass and contracted against Wg^T in ONE MXU dot whose free
-    dimension is TN*TM (8-16K lanes) — the per-query-row loop this replaces
+    dimension is rows*TM (8K lanes) — the per-query-row loop this replaces
     issued TN tiny (g x E) x (E, TM) dots and TM-wide VPU sincos batches,
     and measured ~3x slower at MEGA detect shapes."""
     w, h, cx, cy = _geometry(rois)
     w_r, h_r, cx_r, cy_r = _geometry(refs)
-    dx = jnp.log(jnp.abs((cx[:, None] - cx_r[None, :]) / w[:, None]) + 1e-3)
-    dy = jnp.log(jnp.abs((cy[:, None] - cy_r[None, :]) / h[:, None]) + 1e-3)
-    dw = jnp.log(w[:, None] / w_r[None, :])
-    dh = jnp.log(h[:, None] / h_r[None, :])
-    tn, tm = dx.shape
+    tn, tm = rois.shape[0], refs.shape[0]
+    # dw/dh are separable: log(w/w_r) = log w − log w_r needs TN+TM logs,
+    # not TN·TM (dx/dy stay pairwise — the |Δc|/w + 1e-3 guard isn't
+    # separable)
+    lw, lh = jnp.log(w), jnp.log(h)
+    lw_r, lh_r = jnp.log(w_r), jnp.log(h_r)
 
     log1000 = float(np.log(1000.0))
     scales = [
@@ -111,21 +123,44 @@ def _tile_log_bias(rois, refs, wt_ref, wb_ref, groups, num_freq):
     ]
     wt = wt_ref[:]  # (g, E)
     b = wb_ref[:]  # (g, 1)
-    # sinusoid slab over the whole tile, rows ordered (channel, sin|cos,
-    # freq) to match the reference's concat layout
-    slabs = []
-    for c, pr in enumerate((dx, dy, dw, dh)):
-        flat = pr.reshape(1, tn * tm)
-        args = jnp.concatenate([flat * s for s in scales], axis=0)  # (F, ·)
-        sin_a, cos_a = _sincos(args)
-        slabs.append(sin_a)
-        slabs.append(cos_a)
-    S = jnp.concatenate(slabs, axis=0)  # (E, TN*TM)
-    pw = jax.lax.dot_general(
-        wt, S, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (g, TN*TM)
-    pw = jnp.maximum(pw + b, 0.0)
-    return jnp.log(pw + 1e-6).reshape(groups, tn, tm)
+
+    def chunk_pw(lo):
+        """pw for query rows [lo, lo+rows): bounds the sinusoid slab's VMEM
+        footprint (the (E, rows*TM) slab at rows=32 is ~2 MB; computing it at
+        the full TN would trade the larger tile's K/V-streaming win for VMEM
+        spills — measured: TN=64 single-slab was NET SLOWER than TN=32)."""
+        rows = min(tn, _BIAS_CHUNK)
+        sl = lambda t: t[lo : lo + rows]  # noqa: E731  (static: lo is Python)
+        dx = jnp.log(
+            jnp.abs((sl(cx)[:, None] - cx_r[None, :]) / sl(w)[:, None]) + 1e-3
+        )
+        dy = jnp.log(
+            jnp.abs((sl(cy)[:, None] - cy_r[None, :]) / sl(h)[:, None]) + 1e-3
+        )
+        dw = sl(lw)[:, None] - lw_r[None, :]
+        dh = sl(lh)[:, None] - lh_r[None, :]
+        # sinusoid slab over the chunk, rows ordered (channel, sin|cos,
+        # freq) to match the reference's concat layout
+        slabs = []
+        for pr in (dx, dy, dw, dh):
+            flat = pr.reshape(1, rows * tm)
+            args = jnp.concatenate([flat * s for s in scales], axis=0)
+            sin_a, cos_a = _sincos(args)
+            slabs.append(sin_a)
+            slabs.append(cos_a)
+        S = jnp.concatenate(slabs, axis=0)  # (E, rows*TM)
+        pw = jax.lax.dot_general(
+            wt, S, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (g, rows*TM)
+        pw = jnp.maximum(pw + b, 0.0)
+        return (pw + 1e-6).reshape(groups, rows, tm)
+
+    if tn <= _BIAS_CHUNK:
+        return chunk_pw(0)
+    return jnp.concatenate(
+        [chunk_pw(lo) for lo in range(0, tn, _BIAS_CHUNK)], axis=1
+    )
 
 
 def _kernel(
@@ -170,8 +205,14 @@ def _kernel(
 
     aff = jnp.stack([one_group(g) for g in range(groups)])
     aff = (aff + uk[:, None, :]) * scale
+    pw = None
     if bias_mode == "compute":
-        aff = aff + _tile_log_bias(
+        # multiplicative form: softmax(qk + log pw) = pw·exp(qk − m) / Σ(·).
+        # m is then a running max of the qk logits alone — any consistent
+        # stabilizer keeps the flash recurrence exact, and exp(qk − m) ≤ 1
+        # times a bounded pw cannot overflow. This deletes the (g, TN, TM)
+        # log evaluation per tile (the largest VPU term after the sinusoids).
+        pw = _tile_bias_weight(
             rois_ref[0], rref_ref[0], w4_ref, wb_ref, groups, num_freq
         )
     elif bias_mode == "input":
@@ -183,6 +224,8 @@ def _kernel(
     new_max = jnp.maximum(prev_max, tile_max)
     alpha = jnp.exp(prev_max - new_max)  # (g, TN)
     p = jnp.exp(aff - new_max[:, :, None])  # (g, TN, TM)
+    if pw is not None:
+        p = p * pw
     # invalid slots: exp(NEG_INF - max) underflows to 0 unless the whole row
     # is invalid so far (new_max == NEG_INF) — force those to exact 0
     p = jnp.where(valid[None, None, :] > 0.5, p, 0.0)
@@ -242,10 +285,6 @@ def _fused_fwd_batched(
     for in-kernel bias; a precomputed (B, g, N, M) bias; or None."""
     b, g, n, d = q.shape
     scale = 1.0 / math.sqrt(d)
-    if isinstance(pos, tuple):
-        # in-kernel bias: the per-row MXU contraction unrolls over tile_n
-        # query rows — keep the unroll bounded for compile time
-        tile_n = min(tile_n, 32)
 
     q_p = _pad_axis(q.astype(jnp.bfloat16), 2, tile_n)
     k_p = _pad_axis(k.astype(jnp.bfloat16), 2, tile_m)

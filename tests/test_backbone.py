@@ -8,6 +8,7 @@ placement, frozen BN, dilation, and deconv semantics.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -225,9 +226,11 @@ def test_gn_variant_builds_and_trains_norm_params():
     assert out.shape == (1, 4, 4, 1024)
 
 
-def test_s2d_stem_exact():
-    """The s2d(2) 4x4/1 stem reformulation is exact vs the canonical 7x7/2
-    conv (same params, same output) including the zero-padding border, and
+@pytest.mark.parametrize("factor", [2, 4])
+def test_s2d_stem_exact(factor):
+    """The s2d(2) 4x4/1 and s2d(4) 3x3/1 stem reformulations are exact vs
+    the canonical 7x7/2 conv (same params, same output) including the
+    zero-padding border and (for factor 4) the fused packed maxpool, and
     the packed normalize matches pack(normalize(unpacked))."""
     from mega_pytorch_tpu.models.backbone.resnet import Stem
     from mega_pytorch_tpu.data.transforms import (
@@ -241,20 +244,21 @@ def test_s2d_stem_exact():
     sizes = np.array([[h, w], [37, 51]], np.float32)  # one padded canvas
 
     x3 = normalize_u8_frames(jnp.asarray(frames), jnp.asarray(sizes))
-    x12 = normalize_u8_frames(
-        jnp.asarray(s2d_pack_frames(frames)), jnp.asarray(sizes)
+    xp = normalize_u8_frames(
+        jnp.asarray(s2d_pack_frames(frames, factor)), jnp.asarray(sizes)
     )
     # packed normalize == pack(normalize): phase-aware pad masking
     np.testing.assert_allclose(
-        np.asarray(x12), s2d_pack_frames(np.asarray(x3)), atol=0, rtol=0
+        np.asarray(xp), s2d_pack_frames(np.asarray(x3), factor),
+        atol=0, rtol=0,
     )
 
     stem = Stem()
     params = jit_init(stem, jax.random.PRNGKey(0), x3)["params"]
     assert params["conv1"]["kernel"].shape == (7, 7, 3, 64)
     y3 = stem.apply({"params": params}, x3)
-    y12 = stem.apply({"params": params}, x12)
-    assert y3.shape == y12.shape == (2, h // 4, w // 4, 64)
+    yp = stem.apply({"params": params}, xp)
+    assert y3.shape == yp.shape == (2, h // 4, w // 4, 64)
     np.testing.assert_allclose(
-        np.asarray(y12), np.asarray(y3), rtol=1e-5, atol=1e-4
+        np.asarray(yp), np.asarray(y3), rtol=1e-5, atol=1e-4
     )
