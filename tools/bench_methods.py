@@ -14,7 +14,7 @@ Measurement protocol matches bench.py: ITERS steps chained inside one jitted
 lax.scan, synchronized by a single scalar fetch (block_until_ready is
 unreliable through the axon relay), frames perturbed per iteration so no
 backbone pass is loop-invariant-hoistable. Frames enter as uint8 canvases
-exactly as the engine feeds them (s2d(2)-packed for mega/rdn, raw 3-channel
+exactly as the engine feeds them (s2d(4)-packed for mega/rdn, raw 3-channel
 for fgfa/dff whose flownet consumes full-resolution images).
 
 DFF alternates two step graphs (key every KEY_FRAME_INTERVAL=10 frames,
@@ -79,8 +79,8 @@ def _sizes(lanes: int) -> np.ndarray:
 
 
 def _u8_frames(rs, lanes: int, packed: bool) -> np.ndarray:
-    if packed:
-        shape = (lanes, 1, CANVAS_H // 2, CANVAS_W // 2, 12)
+    if packed:  # s2d(4), matching the lockstep engine's pack=4 fast path
+        shape = (lanes, 1, CANVAS_H // 4, CANVAS_W // 4, 48)
     else:
         shape = (lanes, 1, CANVAS_H, CANVAS_W, 3)
     return (rs.rand(*shape) * 255).astype(np.uint8)
