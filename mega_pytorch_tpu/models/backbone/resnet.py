@@ -214,6 +214,22 @@ class Stem(nn.Module):
             )  # (N, H/4, W/4, 4*O): blocks (a', b') of O
             n, t, u, _ = y.shape
             o = self.out_channels
+            if jax.default_backend() == "tpu" and self.norm != "gn":
+                # one-pass Pallas epilogue: BN affine + relu + packed maxpool
+                # at the bandwidth floor (read y once, write the 1/4-size
+                # pooled map once). The XLA formulations below cost ~0.5
+                # ms/frame at MEGA streaming shapes in extra relayouts /
+                # full-tensor max passes.
+                from ...ops.pallas.stem_pool import stem_pool_packed
+
+                bn1 = FrozenBatchNorm2d(o, dtype=self.dtype, name="bn1")
+                shift = bn1(jnp.zeros((o,), self.dtype)).astype(jnp.float32)
+                scale = bn1(jnp.ones((o,), self.dtype)).astype(
+                    jnp.float32
+                ) - shift
+                return stem_pool_packed(
+                    y, jnp.tile(scale, 4), jnp.tile(shift, 4), o
+                )
             y = y.reshape(n, t, u, 2, 2, o)
             y = make_norm(self.norm, o, self.dtype, "bn1")(y)
             y = nn.relu(y)

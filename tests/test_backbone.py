@@ -262,3 +262,53 @@ def test_s2d_stem_exact(factor):
     np.testing.assert_allclose(
         np.asarray(yp), np.asarray(y3), rtol=1e-5, atol=1e-4
     )
+
+
+def test_stem_pool_packed_kernel_exact():
+    """The Pallas stem epilogue (BN affine + relu + packed 3x3/2 maxpool in
+    one pass) matches the XLA 6-D shifted-max chain exactly, including the
+    -inf borders, block-boundary row halos, and under the engines' lane
+    vmap."""
+    from mega_pytorch_tpu.ops.pallas.stem_pool import stem_pool_packed
+
+    o, t, u = 8, 12, 16  # t chosen so tile_h splits unevenly (halo path)
+    rng = np.random.RandomState(7)
+    y = jnp.asarray(rng.randn(2, t, u, 4 * o), jnp.float32)
+    scale = jnp.asarray(rng.rand(o) + 0.5, jnp.float32)
+    shift = jnp.asarray(rng.randn(o), jnp.float32)
+
+    def xla_chain(y):
+        z = jnp.maximum(
+            y.reshape(*y.shape[:3], 2, 2, o) * scale + shift, 0.0
+        )
+        neg = jnp.asarray(jnp.finfo(z.dtype).min, z.dtype)
+        prev_r = jnp.concatenate(
+            [jnp.full_like(z[:, :1, :, 1], neg), z[:, :-1, :, 1]], axis=1
+        )
+        r = jnp.maximum(jnp.maximum(z[:, :, :, 0], z[:, :, :, 1]), prev_r)
+        prev_c = jnp.concatenate(
+            [jnp.full_like(r[:, :, :1, 1], neg), r[:, :, :-1, 1]], axis=2
+        )
+        return jnp.maximum(jnp.maximum(r[..., 0, :], r[..., 1, :]), prev_c)
+
+    want = xla_chain(y)
+    got = stem_pool_packed(
+        y, jnp.tile(scale, 4), jnp.tile(shift, 4), o, tile_h=5,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    # vmapped over a leading lane axis (how the lockstep engines call it)
+    lanes = jnp.stack([y, y[::-1]])
+    got_v = jax.vmap(
+        lambda a: stem_pool_packed(
+            a, jnp.tile(scale, 4), jnp.tile(shift, 4), o, tile_h=5,
+            interpret=True,
+        )
+    )(lanes)
+    np.testing.assert_allclose(
+        np.asarray(got_v[0]), np.asarray(want), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_v[1]), np.asarray(xla_chain(y[::-1])), rtol=1e-6
+    )
