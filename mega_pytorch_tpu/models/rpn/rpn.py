@@ -93,7 +93,10 @@ def _postprocess_one(
     scores = jax.nn.sigmoid(objectness)
     k = min(sizes.pre_nms_top_n, n)
     top_scores, top_idx = jax.lax.top_k(scores, k)
-    proposals = RPN_BOX_CODER.decode(box_deltas[top_idx], anchors[top_idx])
+    # decode ALL anchors (a ~30-op/row VPU triviality), then gather once:
+    # gathering deltas AND anchors separately cost a second (N, 4) random
+    # gather per frame (0.11 ms/frame at 12 lanes in the r4 trace)
+    proposals = RPN_BOX_CODER.decode(box_deltas, anchors)[top_idx]
     proposals = clip_to_image(proposals, im_size[0], im_size[1])
     valid = small_box_mask(proposals, sizes.min_size)
     # proposals/scores ride the NMS sorts as payload — no post-hoc gathers
