@@ -90,7 +90,75 @@ def _sincos(x):
     return s, c
 
 
-def _tile_bias_weight(rois, refs, wt_ref, wb_ref, groups, num_freq):
+def _wh_factors(rois, refs, wg_kernel, num_freq):
+    """XLA-side separable factors for the dw/dh position-bias channels.
+
+    Their pairwise angle is s_f·(log w_n − log w_r_m), so by angle addition
+    the pairwise sinusoids are rank-2 combinations of per-row and per-column
+    sinusoids; folding the Wg columns for those channels into the column
+    factors turns their whole bias contribution into
+        C(g, n, m) = Σ_j S[j, n] · T[g, j, m],   j = 1..4F,
+    an MXU contraction per group inside the kernel. Computed HERE (outside
+    Pallas) the sinusoids cost O(N+M) transcendentals ONCE per call — the
+    in-kernel pairwise slab they replace cost O(N·M) per (n, m) tile, and was
+    half the kernel's VPU work. Conventions (geometry clamp, log, _sincos
+    polynomial, Wg column order channel-major/sin-then-cos/freq-minor) match
+    _tile_bias_weight exactly; only dx/dy (whose |Δc|/w + 1e-3 guard is
+    genuinely pairwise) stay in-kernel.
+
+    rois: (B, N, 4); refs: (B, M, 4); wg_kernel: (E, g).
+    Returns S (B, N, 4F) f32 and T (B, g, 4F, M) f32.
+    """
+    F = num_freq
+    log1000 = float(np.log(1000.0))
+    scales = jnp.asarray(
+        [100.0 * math.exp(-f * (1.0 / F) * log1000) for f in range(F)],
+        jnp.float32,
+    )
+
+    def geom_wh(r):
+        w = jnp.maximum(r[..., 2] - r[..., 0] + 1.0, 1e-3)
+        h = jnp.maximum(r[..., 3] - r[..., 1] + 1.0, 1e-3)
+        return jnp.log(w), jnp.log(h)
+
+    lw, lh = geom_wh(rois.astype(jnp.float32))  # (B, N)
+    lw_r, lh_r = geom_wh(refs.astype(jnp.float32))  # (B, M)
+
+    def fsin(base):  # (B, L) -> (B, F, L) sin/cos per frequency
+        args = base[:, None, :] * scales[None, :, None]
+        return _sincos(args)
+
+    sinAw, cosAw = fsin(lw)
+    sinAh, cosAh = fsin(lh)
+    sinBw, cosBw = fsin(lw_r)
+    sinBh, cosBh = fsin(lh_r)
+
+    # (B, N, 4F): feature-minor so the kernel block's last dim is the
+    # full feature axis (Pallas requires last-two block dims 8/128-
+    # divisible or full)
+    S = jnp.concatenate([sinAw, cosAw, sinAh, cosAh], axis=1).swapaxes(1, 2)
+
+    wt = wg_kernel.astype(jnp.float32).T  # (g, E)
+
+    def col_factor(c0, sinB, cosB):
+        ws = wt[:, c0 : c0 + F]  # (g, F) sin-feature weights
+        wc = wt[:, c0 + F : c0 + 2 * F]  # (g, F) cos-feature weights
+        alpha = (
+            ws[None, :, :, None] * cosB[:, None] + wc[None, :, :, None] * sinB[:, None]
+        )  # (B, g, F, M)
+        beta = (
+            wc[None, :, :, None] * cosB[:, None] - ws[None, :, :, None] * sinB[:, None]
+        )
+        return alpha, beta
+
+    aw, bw_ = col_factor(4 * F, sinBw, cosBw)  # dw channel (cols 4F..6F)
+    ah, bh_ = col_factor(6 * F, sinBh, cosBh)  # dh channel (cols 6F..8F)
+    T = jnp.concatenate([aw, bw_, ah, bh_], axis=2)  # (B, g, 4F, M)
+    return S, T
+
+
+def _tile_bias_weight(rois, refs, s_ref, t_ref, wt_ref, wb_ref, groups,
+                      num_freq):
     """(TN, 4) x (TM, 4) boxes → (g, TN, TM) position weight pw, in-register.
 
     Returns pw = relu(Wg · sinusoid(position_matrix)) + 1e-6 — NOT its log:
@@ -100,21 +168,21 @@ def _tile_bias_weight(rois, refs, wt_ref, wb_ref, groups, num_freq):
     call (~0.5 G transcendentals at MEGA stage-0 x12 lanes — the single
     largest VPU term after the sinusoids).
 
+    Only the dx/dy channels (pairwise |Δc|/w + 1e-3 guard) are evaluated
+    here as a pairwise sinusoid slab; the dw/dh channels arrive as the
+    separable factors s_ref (TN, 4F) / t_ref (g, 4F, TM) from _wh_factors
+    and contribute through one small MXU contraction per group — half the
+    pairwise transcendental work this kernel used to do, and their sinusoids
+    are evaluated once per call instead of once per (n, m) tile.
+
     wt_ref: (g, E) VMEM ref — Wg TRANSPOSED, columns ordered (channel,
     sin|cos, freq) to match the reference's concat layout; wb_ref its (g, 1)
-    VMEM bias. Each chunk's sinusoid slab (E, rows*TM) is built in one
-    vectorized pass and contracted against Wg^T in ONE MXU dot whose free
-    dimension is rows*TM (8K lanes) — the per-query-row loop this replaces
-    issued TN tiny (g x E) x (E, TM) dots and TM-wide VPU sincos batches,
-    and measured ~3x slower at MEGA detect shapes."""
+    VMEM bias. Each chunk's dx/dy slab (4F, rows*TM) is built in one
+    vectorized pass and contracted against Wg^T's dx/dy columns in ONE MXU
+    dot whose free dimension is rows*TM (8K lanes)."""
     w, h, cx, cy = _geometry(rois)
     w_r, h_r, cx_r, cy_r = _geometry(refs)
     tn, tm = rois.shape[0], refs.shape[0]
-    # dw/dh are separable: log(w/w_r) = log w − log w_r needs TN+TM logs,
-    # not TN·TM (dx/dy stay pairwise — the |Δc|/w + 1e-3 guard isn't
-    # separable)
-    lw, lh = jnp.log(w), jnp.log(h)
-    lw_r, lh_r = jnp.log(w_r), jnp.log(h_r)
 
     log1000 = float(np.log(1000.0))
     scales = [
@@ -123,12 +191,25 @@ def _tile_bias_weight(rois, refs, wt_ref, wb_ref, groups, num_freq):
     ]
     wt = wt_ref[:]  # (g, E)
     b = wb_ref[:]  # (g, 1)
+    F = num_freq
+
+    # dw/dh contribution for the whole tile: per group one
+    # (TN, 4F) @ (4F, TM) dot against the precomputed separable factors
+    s_wh = s_ref[:]  # (TN, 4F)
+    c_wh = jnp.stack(
+        [
+            jax.lax.dot_general(
+                s_wh, t_ref[gi], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for gi in range(groups)
+        ]
+    )  # (g, TN, TM)
 
     def chunk_pw(lo):
         """pw for query rows [lo, lo+rows): bounds the sinusoid slab's VMEM
-        footprint (the (E, rows*TM) slab at rows=32 is ~2 MB; computing it at
-        the full TN would trade the larger tile's K/V-streaming win for VMEM
-        spills — measured: TN=64 single-slab was NET SLOWER than TN=32)."""
+        footprint (larger single slabs measured NET SLOWER via VMEM
+        spills)."""
         rows = min(tn, _BIAS_CHUNK)
         sl = lambda t: t[lo : lo + rows]  # noqa: E731  (static: lo is Python)
         dx = jnp.log(
@@ -137,24 +218,22 @@ def _tile_bias_weight(rois, refs, wt_ref, wb_ref, groups, num_freq):
         dy = jnp.log(
             jnp.abs((sl(cy)[:, None] - cy_r[None, :]) / sl(h)[:, None]) + 1e-3
         )
-        dw = sl(lw)[:, None] - lw_r[None, :]
-        dh = sl(lh)[:, None] - lh_r[None, :]
-        # sinusoid slab over the chunk, rows ordered (channel, sin|cos,
-        # freq) to match the reference's concat layout
+        # pairwise sinusoid slab for dx/dy only, rows ordered (channel,
+        # sin|cos, freq) to match the reference's concat layout
         slabs = []
-        for pr in (dx, dy, dw, dh):
+        for pr in (dx, dy):
             flat = pr.reshape(1, rows * tm)
             args = jnp.concatenate([flat * s for s in scales], axis=0)
             sin_a, cos_a = _sincos(args)
             slabs.append(sin_a)
             slabs.append(cos_a)
-        S = jnp.concatenate(slabs, axis=0)  # (E, rows*TM)
+        S = jnp.concatenate(slabs, axis=0)  # (4F, rows*TM)
         pw = jax.lax.dot_general(
-            wt, S, (((1,), (0,)), ((), ())),
+            wt[:, : 4 * F], S, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (g, rows*TM)
-        pw = jnp.maximum(pw + b, 0.0)
-        return (pw + 1e-6).reshape(groups, rows, tm)
+        ).reshape(groups, rows, tm)
+        pw = jnp.maximum(pw + c_wh[:, lo : lo + rows] + b[:, :, None], 0.0)
+        return pw + 1e-6
 
     if tn <= _BIAS_CHUNK:
         return chunk_pw(0)
@@ -169,10 +248,11 @@ def _kernel(
     scale: float,
     bias_mode: str,  # "compute" | "input" | "none"
     num_freq: int,
+    paired: bool = False,
 ):
     if bias_mode == "compute":
-        (q_ref, k_ref, v_ref, uk_ref, rois_ref, rref_ref, w4_ref, wb_ref,
-         valid_ref, out_ref, acc_ref, m_ref, l_ref) = refs
+        (q_ref, k_ref, v_ref, uk_ref, rois_ref, rref_ref, s_ref, t_ref,
+         w4_ref, wb_ref, valid_ref, out_ref, acc_ref, m_ref, l_ref) = refs
     elif bias_mode == "input":
         (q_ref, k_ref, v_ref, uk_ref, bias_ref, valid_ref,
          out_ref, acc_ref, m_ref, l_ref) = refs
@@ -191,19 +271,40 @@ def _kernel(
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]  # (g, TN, d)
-    k = k_ref[0]  # (g, TM, d)
     uk = uk_ref[0]  # (g, TM)
     valid = valid_ref[0, 0, :]  # (TM,)
 
-    def one_group(g):
-        return jax.lax.dot_general(
-            q[g], k[g],
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (TN, TM)
+    if paired:
+        # Group-paired MXU form (see _fused_fwd_batched): the QK dot for
+        # groups (2p, 2p+1) runs as ONE (2TN, 2d)@(2d, TM) contraction with
+        # q block-diagonal over the contraction dim — both the 128-row and
+        # 128-contraction MXU dimensions are full, vs the per-group
+        # (TN=64, d=64) dots' quarter fill. Half the padded MXU passes.
+        qbd = q_ref[0]  # (P, 2TN, 2d) block-diag over contraction
+        kc = k_ref[0]   # (P, 2d, TM) pair-stacked k^T
+        npairs = groups // 2
+        tn2 = qbd.shape[1]
 
-    aff = jnp.stack([one_group(g) for g in range(groups)])
+        def one_pair(p):
+            return jax.lax.dot_general(
+                qbd[p], kc[p], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (2TN, TM): rows 0:TN = group 2p, TN:2TN = group 2p+1
+
+        aff2 = jnp.stack([one_pair(p) for p in range(npairs)])
+        aff = aff2.reshape(groups, tn2 // 2, aff2.shape[2])
+    else:
+        q = q_ref[0]  # (g, TN, d)
+        k = k_ref[0]  # (g, TM, d)
+
+        def one_group(g):
+            return jax.lax.dot_general(
+                q[g], k[g],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TN, TM)
+
+        aff = jnp.stack([one_group(g) for g in range(groups)])
     aff = (aff + uk[:, None, :]) * scale
     pw = None
     if bias_mode == "compute":
@@ -213,7 +314,8 @@ def _kernel(
         # times a bounded pw cannot overflow. This deletes the (g, TN, TM)
         # log evaluation per tile (the largest VPU term after the sinusoids).
         pw = _tile_bias_weight(
-            rois_ref[0], rref_ref[0], w4_ref, wb_ref, groups, num_freq
+            rois_ref[0], rref_ref[0], s_ref[0], t_ref[0], w4_ref, wb_ref,
+            groups, num_freq,
         )
     elif bias_mode == "input":
         aff = aff + bias_ref[0]
@@ -232,17 +334,38 @@ def _kernel(
 
     l_new = l_ref[:, :, 0] * alpha + jnp.sum(p, axis=2)
 
-    pv = jnp.stack(
-        [
-            jax.lax.dot_general(
-                p[g].astype(jnp.bfloat16), v_ref[0, g],
-                (((1,), (0,)), ((), ())),
+    if paired:
+        # PV with column-widened v: (2TN, TM)@(TM, 2d) computes the two
+        # diagonal blocks we need plus two discarded cross blocks — same MXU
+        # time as one full tile, vs two quarter-filled per-group dots. The
+        # accumulator stays in paired layout; cross-block garbage accumulates
+        # harmlessly and is dropped at _finish.
+        npairs = groups // 2
+        tn = p.shape[1]
+        p2 = p.reshape(npairs, 2 * tn, p.shape[2]).astype(jnp.bfloat16)
+        vw = v_ref[0]  # (P, TM, 2d) column-widened v
+
+        def one_pv(pp):
+            return jax.lax.dot_general(
+                p2[pp], vw[pp], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
-            for g in range(groups)
-        ]
-    )  # (g, TN, d)
-    acc_ref[:] = acc_ref[:] * alpha[:, :, None] + pv
+            )  # (2TN, 2d)
+
+        pv = jnp.stack([one_pv(pp) for pp in range(npairs)])
+        alpha_acc = alpha.reshape(npairs, 2 * tn)
+    else:
+        pv = jnp.stack(
+            [
+                jax.lax.dot_general(
+                    p[g].astype(jnp.bfloat16), v_ref[0, g],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for g in range(groups)
+            ]
+        )  # (g, TN, d)
+        alpha_acc = alpha
+    acc_ref[:] = acc_ref[:] * alpha_acc[:, :, None] + pv
     m_ref[:] = jnp.broadcast_to(new_max[:, :, None], m_ref.shape)
     l_ref[:] = jnp.broadcast_to(l_new[:, :, None], l_ref.shape)
 
@@ -252,7 +375,17 @@ def _kernel(
         # nothing to the residual), matching attention.py's `soft = 0` branch
         denom = l_ref[:, :, 0]
         safe = jnp.where(denom > 0.0, denom, 1.0)
-        out_ref[0] = acc_ref[:] / safe[:, :, None] * (denom > 0.0)[:, :, None]
+        if paired:
+            npairs = groups // 2
+            tn = denom.shape[1]
+            d = acc_ref.shape[2] // 2
+            acc = acc_ref[:]  # (P, 2TN, 2d)
+            top = acc[:, :tn, :d]  # group 2p
+            bot = acc[:, tn:, d:]  # group 2p+1
+            out = jnp.stack([top, bot], axis=1).reshape(groups, tn, d)
+        else:
+            out = acc_ref[:]
+        out_ref[0] = out / safe[:, :, None] * (denom > 0.0)[:, :, None]
 
 
 def _pad_axis(x: jnp.ndarray, axis: int, mult: int, value=0.0) -> jnp.ndarray:
@@ -294,6 +427,29 @@ def _fused_fwd_batched(
     np_, mp_ = q_p.shape[2], k_p.shape[2]
     num_freq = embed_dim // 8
 
+    # Group-paired MXU layouts (even g; see _kernel). With d=64 and tile_n=64
+    # the per-group QK dot fills a quarter of the 128x128 MXU tile; pairing
+    # groups (2p, 2p+1) into one block-diagonal (2TN, 2d)@(2d, TM) dot and one
+    # column-widened (2TN, TM)@(TM, 2d) PV dot halves the padded MXU passes.
+    # Measured at MEGA stage-0 shapes (B=12, N=675, M=3750): 8.3 -> 7.0
+    # ms/call no-bias, exact (0.0 max-abs-diff) vs the per-group form.
+    paired = g % 2 == 0
+    if paired:
+        npair = g // 2
+        nt = np_ // tile_n
+        qpair = q_p.reshape(b, npair, 2, np_, d)
+        zblk = jnp.zeros_like(qpair[:, :, 0])
+        qtop = jnp.concatenate([qpair[:, :, 0], zblk], axis=-1)
+        qbot = jnp.concatenate([zblk, qpair[:, :, 1]], axis=-1)
+        # per n-tile the rows must be [group-2p TN rows ; group-2p+1 TN rows]
+        qbd = jnp.concatenate([qtop[:, :, None], qbot[:, :, None]], axis=2)
+        qbd = qbd.reshape(b, npair, 2, nt, tile_n, 2 * d)
+        qbd = qbd.transpose(0, 1, 3, 2, 4, 5).reshape(b, npair, 2 * np_, 2 * d)
+        kc = k_p.reshape(b, npair, 2, mp_, d).transpose(0, 1, 2, 4, 3)
+        kc = kc.reshape(b, npair, 2 * d, mp_)
+        vw = v_p.reshape(b, npair, 2, mp_, d).transpose(0, 1, 3, 2, 4)
+        vw = vw.reshape(b, npair, mp_, 2 * d)
+
     if isinstance(pos, tuple):
         bias_mode = "compute"
         rois, ref_rois, wg_kernel, wg_bias = pos
@@ -304,7 +460,10 @@ def _fused_fwd_batched(
         # columns keep the reference's (channel, sin|cos, freq) row order
         wt = wg_kernel.astype(jnp.float32).T
         wb = wg_bias.astype(jnp.float32)[:, None]  # (g, 1): broadcast-ready
-        extra_in = [rois_p, refs_p, wt, wb]
+        # separable dw/dh factors, evaluated once per call in XLA (see
+        # _wh_factors); padded columns use the unit-box geometry (log 1 = 0)
+        s_wh, t_wh = _wh_factors(rois_p, refs_p, wg_kernel, num_freq)
+        extra_in = [rois_p, refs_p, s_wh, t_wh, wt, wb]
         extra_specs = [
             pl.BlockSpec(
                 (1, tile_n, 4), lambda b, i, j: (b, i, 0),
@@ -312,6 +471,14 @@ def _fused_fwd_batched(
             ),
             pl.BlockSpec(
                 (1, tile_m, 4), lambda b, i, j: (b, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_n, 4 * num_freq), lambda b, i, j: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, g, 4 * num_freq, tile_m), lambda b, i, j: (b, 0, 0, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -338,15 +505,26 @@ def _fused_fwd_batched(
         bias_mode = "none"
         extra_in, extra_specs = [], []
 
-    grid = (b, np_ // tile_n, mp_ // tile_m)
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel, groups=g, scale=scale, bias_mode=bias_mode,
-            num_freq=num_freq,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, g, np_, d), jnp.float32),
-        grid=grid,
-        in_specs=[
+    if paired:
+        qkv_in = [qbd, kc, vw]
+        qkv_specs = [
+            pl.BlockSpec(
+                (1, npair, 2 * tile_n, 2 * d), lambda b, i, j: (b, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, npair, 2 * d, tile_m), lambda b, i, j: (b, 0, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, npair, tile_m, 2 * d), lambda b, i, j: (b, 0, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        acc_scratch = pltpu.VMEM((npair, 2 * tile_n, 2 * d), jnp.float32)
+    else:
+        qkv_in = [q_p, k_p, v_p]
+        qkv_specs = [
             pl.BlockSpec(
                 (1, g, tile_n, d), lambda b, i, j: (b, 0, i, 0),
                 memory_space=pltpu.VMEM,
@@ -359,6 +537,19 @@ def _fused_fwd_batched(
                 (1, g, tile_m, d), lambda b, i, j: (b, 0, j, 0),
                 memory_space=pltpu.VMEM,
             ),
+        ]
+        acc_scratch = pltpu.VMEM((g, tile_n, d), jnp.float32)
+
+    grid = (b, np_ // tile_n, mp_ // tile_m)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, groups=g, scale=scale, bias_mode=bias_mode,
+            num_freq=num_freq, paired=paired,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, g, np_, d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            *qkv_specs,
             pl.BlockSpec(
                 (1, g, tile_m), lambda b, i, j: (b, 0, j),
                 memory_space=pltpu.VMEM,
@@ -374,12 +565,12 @@ def _fused_fwd_batched(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((g, tile_n, d), jnp.float32),
+            acc_scratch,
             pltpu.VMEM((g, tile_n, 128), jnp.float32),
             pltpu.VMEM((g, tile_n, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(q_p, k_p, v_p, uk_p, *extra_in, valid_p)
+    )(*qkv_in, uk_p, *extra_in, valid_p)
     return out[:, :, :n, :]
 
 
