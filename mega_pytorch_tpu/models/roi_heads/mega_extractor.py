@@ -229,8 +229,11 @@ class MEGAFeatureExtractor(nn.Module):
         l_flat = jax.vmap(self.pool_flat)(enhanced_l, l_rois)
         x_l = self.fc0(l_flat.reshape(fl * self.base_num, -1))
         if self.global_enable:
-            x_key = self.update_lm(x_key, g_feats, g_val)
-            x_l = self.update_lm(x_l, g_feats, g_val)
+            # one merged call (update_lm is per-row; see extract_test)
+            both = self.update_lm(
+                jnp.concatenate([x_key, x_l], 0), g_feats, g_val
+            )
+            x_key, x_l = both[: x_key.shape[0]], both[x_key.shape[0]:]
         l_rois_flat = l_rois.reshape(-1, 4)
         l_val_flat = l_valid.reshape(-1)
         rois_dis = self._distill(l_rois_flat, fl)
@@ -288,12 +291,24 @@ class MEGAFeatureExtractor(nn.Module):
         deterministic — at one res5 pass per frame instead of two)."""
         t = window.rois.shape[0] // self.base_num
 
-        x_ref = window.feats
-        x_ref_dis = self._distill(window.feats, t)
         if self.global_enable:
-            x = self.update_lm(x, g_feats, g_valid)
-            x_ref = self.update_lm(x_ref, g_feats, g_valid)
-            x_ref_dis = self.update_lm(x_ref_dis, g_feats, g_valid)
+            # ONE merged global-enhance call for the key set and the window
+            # (update_lm is per-row content attention, so enhance(concat) ==
+            # concat(enhance)), and the distilled subset is sliced from the
+            # enhanced window (enhance(distill(f)) == distill(enhance(f)) —
+            # _distill selects rows) instead of re-attended: 3 attention
+            # calls -> 1 and the 375 distilled rows' work disappears.
+            # Identical math to update_lm-ing x / x_ref / x_ref_dis apart
+            # (reference update_lm :690-699 is row-independent).
+            n_q = x.shape[0]
+            both = self.update_lm(
+                jnp.concatenate([x, window.feats], 0), g_feats, g_valid
+            )
+            x, x_ref = both[:n_q], both[n_q:]
+            x_ref_dis = self._distill(x_ref, t)
+        else:
+            x_ref = window.feats
+            x_ref_dis = self._distill(window.feats, t)
 
         rois_dis = self._distill(window.rois, t)
         val_dis = self._distill(window.valid, t)

@@ -37,7 +37,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def bias_freq_scales(num_freq: int) -> list[float]:
+    """The reference's sinusoid frequency ladder: 100 / 1000^(f/F)
+    (extract_position_embedding, roi_box_feature_extractors.py:125-144).
+
+    The SINGLE definition shared by this module's kernel/XLA twin and the
+    flash attention kernel's in-kernel bias + separable dw/dh factors
+    (relation_attention.py), so one site cannot silently fork the convention
+    (ADVICE r4 #2)."""
+    log1000 = float(np.log(1000.0))
+    return [
+        100.0 * math.exp(-f * (1.0 / num_freq) * log1000)
+        for f in range(num_freq)
+    ]
+
+
 def _geometry(r: jnp.ndarray):
+    """Box geometry with the reference's 1e-3 w/h clamp (shared convention —
+    see bias_freq_scales)."""
     w = r[:, 2] - r[:, 0] + 1.0
     h = r[:, 3] - r[:, 1] + 1.0
     cx = 0.5 * (r[:, 0] + r[:, 2])
@@ -61,15 +78,14 @@ def _kernel(rois_ref, refs_ref, wg_ref, b_ref, out_ref, *, embed_dim: int):
     num_freq = embed_dim // 8
     pos4 = _log_ratios(rois_ref[:], refs_ref[:])
     g = out_ref.shape[0]
-    log1000 = float(np.log(1000.0))
+    scales = bias_freq_scales(num_freq)
     # stream over the 64 (channel, freq) terms, keeping only the current
     # sin/cos slab pair and the g accumulators live — precomputing all 128
     # slabs per tile blows the 16M scoped-VMEM stack limit
     accs = [jnp.zeros_like(pos4[0]) + b_ref[0, gi] for gi in range(g)]
     for c in range(4):
         for f in range(num_freq):
-            inv_dim = 100.0 * math.exp(-f * (1.0 / num_freq) * log1000)
-            ang = pos4[c] * inv_dim  # (TN, TM)
+            ang = pos4[c] * scales[f]  # (TN, TM)
             s, co = jnp.sin(ang), jnp.cos(ang)
             ws_row = c * 2 * num_freq + f
             wc_row = c * 2 * num_freq + num_freq + f
@@ -158,9 +174,9 @@ def reference_position_bias(
         rois.astype(jnp.float32), ref_rois.astype(jnp.float32)
     )
     pos = jnp.stack([dx, dy, dw, dh], axis=2)  # (N, M, 4)
-    freq = jnp.arange(num_freq, dtype=jnp.float32)
-    inv_dim = jnp.exp(-freq * (8.0 / embed_dim * float(np.log(1000.0))))
-    div = pos[..., None] * 100.0 * inv_dim  # (N, M, 4, F)
+    div = pos[..., None] * jnp.asarray(
+        bias_freq_scales(num_freq), jnp.float32
+    )  # (N, M, 4, F)
     w4 = wg_kernel.astype(jnp.float32).reshape(4, 2, num_freq, g)
     pw = jnp.einsum(
         "nmcf,cfg->nmg",

@@ -48,17 +48,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# geometry clamp + sinusoid frequency ladder shared with the XLA twin and
+# the standalone bias kernel — ONE definition, no forked conventions
+# (ADVICE r4 #2)
+from .position_bias import _geometry, bias_freq_scales
+
 NEG_INF = -1e30
 # query-row chunk for the in-kernel position-bias slab (see chunk_bias)
 _BIAS_CHUNK = 32
-
-
-def _geometry(r):
-    w = r[:, 2] - r[:, 0] + 1.0
-    h = r[:, 3] - r[:, 1] + 1.0
-    cx = 0.5 * (r[:, 0] + r[:, 2])
-    cy = 0.5 * (r[:, 1] + r[:, 3])
-    return jnp.maximum(w, 1e-3), jnp.maximum(h, 1e-3), cx, cy
 
 
 def _sincos(x):
@@ -107,19 +104,21 @@ def _wh_factors(rois, refs, wg_kernel, num_freq):
     genuinely pairwise) stay in-kernel.
 
     rois: (B, N, 4); refs: (B, M, 4); wg_kernel: (E, g).
-    Returns S (B, N, 4F) f32 and T (B, g, 4F, M) f32.
+    Returns S (B, N, 4F) f32 and T (B, g, 4F, M) bf16 (the factors are
+    bounded by |Wg| and feed a bf16-grade contraction — the XLA twin itself
+    quantizes its sinusoids to bf16 at inference — so bf16 halves the
+    dominant HBM term of the bias path: the T block is re-streamed once per
+    query tile, ~86 MB/lane/call f32 at stage-0; ADVICE r4 #3).
     """
     F = num_freq
-    log1000 = float(np.log(1000.0))
-    scales = jnp.asarray(
-        [100.0 * math.exp(-f * (1.0 / F) * log1000) for f in range(F)],
-        jnp.float32,
-    )
+    scales = jnp.asarray(bias_freq_scales(F), jnp.float32)
 
     def geom_wh(r):
-        w = jnp.maximum(r[..., 2] - r[..., 0] + 1.0, 1e-3)
-        h = jnp.maximum(r[..., 3] - r[..., 1] + 1.0, 1e-3)
-        return jnp.log(w), jnp.log(h)
+        w, h, _, _ = _geometry(r.reshape(-1, 4))
+        return (
+            jnp.log(w).reshape(r.shape[:-1]),
+            jnp.log(h).reshape(r.shape[:-1]),
+        )
 
     lw, lh = geom_wh(rois.astype(jnp.float32))  # (B, N)
     lw_r, lh_r = geom_wh(refs.astype(jnp.float32))  # (B, M)
@@ -154,11 +153,11 @@ def _wh_factors(rois, refs, wg_kernel, num_freq):
     aw, bw_ = col_factor(4 * F, sinBw, cosBw)  # dw channel (cols 4F..6F)
     ah, bh_ = col_factor(6 * F, sinBh, cosBh)  # dh channel (cols 6F..8F)
     T = jnp.concatenate([aw, bw_, ah, bh_], axis=2)  # (B, g, 4F, M)
-    return S, T
+    return S, T.astype(jnp.bfloat16)
 
 
-def _tile_bias_weight(rois, refs, s_ref, t_ref, wt_ref, wb_ref, groups,
-                      num_freq):
+def _tile_bias_weight(rois, refs, s_ref, sbd_ref, t_ref, wt_ref, wb_ref,
+                      groups, num_freq):
     """(TN, 4) x (TM, 4) boxes → (g, TN, TM) position weight pw, in-register.
 
     Returns pw = relu(Wg · sinusoid(position_matrix)) + 1e-6 — NOT its log:
@@ -171,9 +170,13 @@ def _tile_bias_weight(rois, refs, s_ref, t_ref, wt_ref, wb_ref, groups,
     Only the dx/dy channels (pairwise |Δc|/w + 1e-3 guard) are evaluated
     here as a pairwise sinusoid slab; the dw/dh channels arrive as the
     separable factors s_ref (TN, 4F) / t_ref (g, 4F, TM) from _wh_factors
-    and contribute through one small MXU contraction per group — half the
-    pairwise transcendental work this kernel used to do, and their sinusoids
-    are evaluated once per call instead of once per (n, m) tile.
+    and contribute through quad-blocked MXU contractions: groups (4p..4p+3)
+    share one (4TN, 16F) @ (16F, TM) dot with S block-diagonal over the
+    contraction dim (sbd_ref scratch, built once per query tile at j == 0) —
+    at F=8 that is a 256-row, 128-deep FULLY PACKED MXU pass, vs the
+    per-group (64, 32) @ (32, TM) form's ~12% fill (the r4 form; measured
+    17.4 -> 14.0 ms/call at stage-0 together with the bf16 factors). Falls
+    back to per-group dots when g % 4 != 0 (sbd_ref is None).
 
     wt_ref: (g, E) VMEM ref — Wg TRANSPOSED, columns ordered (channel,
     sin|cos, freq) to match the reference's concat layout; wb_ref its (g, 1)
@@ -181,30 +184,41 @@ def _tile_bias_weight(rois, refs, s_ref, t_ref, wt_ref, wb_ref, groups,
     vectorized pass and contracted against Wg^T's dx/dy columns in ONE MXU
     dot whose free dimension is rows*TM (8K lanes)."""
     w, h, cx, cy = _geometry(rois)
-    w_r, h_r, cx_r, cy_r = _geometry(refs)
+    # refs: only the centers matter for dx/dy (the w/h channels ride the
+    # separable factors — ADVICE r4 #1: no dead w_r/h_r geometry)
+    cx_r = 0.5 * (refs[:, 0] + refs[:, 2])
+    cy_r = 0.5 * (refs[:, 1] + refs[:, 3])
     tn, tm = rois.shape[0], refs.shape[0]
 
-    log1000 = float(np.log(1000.0))
-    scales = [
-        100.0 * math.exp(-f * (1.0 / num_freq) * log1000)
-        for f in range(num_freq)
-    ]
+    scales = bias_freq_scales(num_freq)
     wt = wt_ref[:]  # (g, E)
     b = wb_ref[:]  # (g, 1)
     F = num_freq
 
-    # dw/dh contribution for the whole tile: per group one
-    # (TN, 4F) @ (4F, TM) dot against the precomputed separable factors
-    s_wh = s_ref[:]  # (TN, 4F)
-    c_wh = jnp.stack(
-        [
+    # dw/dh contribution for the whole tile (see docstring)
+    if sbd_ref is not None:
+        nq = groups // 4
+        tq = t_ref[:].reshape(nq, 4 * 4 * F, tm)  # free view: g-major rows
+        sbd = sbd_ref[:]  # (4TN, 16F) bf16 block-diag
+        c4 = [
             jax.lax.dot_general(
-                s_wh, t_ref[gi], (((1,), (0,)), ((), ())),
+                sbd, tq[qi], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            for gi in range(groups)
-        ]
-    )  # (g, TN, TM)
+            for qi in range(nq)
+        ]  # each (4TN, TM): rows r of quad qi = group 4qi + r // TN
+        c_wh = jnp.stack(c4).reshape(groups, tn, tm)
+    else:
+        s_wh = s_ref[:].astype(jnp.bfloat16)  # (TN, 4F)
+        c_wh = jnp.stack(
+            [
+                jax.lax.dot_general(
+                    s_wh, t_ref[gi], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for gi in range(groups)
+            ]
+        )  # (g, TN, TM)
 
     def chunk_pw(lo):
         """pw for query rows [lo, lo+rows): bounds the sinusoid slab's VMEM
@@ -250,9 +264,13 @@ def _kernel(
     num_freq: int,
     paired: bool = False,
 ):
+    sbd_ref = None
     if bias_mode == "compute":
         (q_ref, k_ref, v_ref, uk_ref, rois_ref, rref_ref, s_ref, t_ref,
-         w4_ref, wb_ref, valid_ref, out_ref, acc_ref, m_ref, l_ref) = refs
+         w4_ref, wb_ref, valid_ref, out_ref, acc_ref, m_ref, l_ref,
+         *rest) = refs
+        if groups % 4 == 0:
+            (sbd_ref,) = rest
     elif bias_mode == "input":
         (q_ref, k_ref, v_ref, uk_ref, bias_ref, valid_ref,
          out_ref, acc_ref, m_ref, l_ref) = refs
@@ -270,6 +288,15 @@ def _kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
+        if sbd_ref is not None:
+            # block-diagonal S for the quad-blocked dw/dh contraction
+            # (constant over j — the m-tile loop reuses it 15x at stage-0)
+            tn = s_ref.shape[1]
+            f4 = s_ref.shape[2]
+            sbd_ref[:] = jnp.zeros_like(sbd_ref)
+            s_bf = s_ref[0].astype(sbd_ref.dtype)
+            for qi in range(4):
+                sbd_ref[qi * tn:(qi + 1) * tn, qi * f4:(qi + 1) * f4] = s_bf
 
     uk = uk_ref[0]  # (g, TM)
     valid = valid_ref[0, 0, :]  # (TM,)
@@ -314,8 +341,8 @@ def _kernel(
         # times a bounded pw cannot overflow. This deletes the (g, TN, TM)
         # log evaluation per tile (the largest VPU term after the sinusoids).
         pw = _tile_bias_weight(
-            rois_ref[0], rref_ref[0], s_ref[0], t_ref[0], w4_ref, wb_ref,
-            groups, num_freq,
+            rois_ref[0], rref_ref[0], s_ref[0], sbd_ref, t_ref[0], w4_ref,
+            wb_ref, groups, num_freq,
         )
     elif bias_mode == "input":
         aff = aff + bias_ref[0]
@@ -568,7 +595,12 @@ def _fused_fwd_batched(
             acc_scratch,
             pltpu.VMEM((g, tile_n, 128), jnp.float32),
             pltpu.VMEM((g, tile_n, 128), jnp.float32),
-        ],
+        ] + (
+            # block-diag S for the quad-blocked dw/dh bias contraction
+            [pltpu.VMEM((4 * tile_n, 4 * 4 * num_freq), jnp.bfloat16)]
+            if bias_mode == "compute" and g % 4 == 0
+            else []
+        ),
         interpret=interpret,
     )(*qkv_in, uk_p, *extra_in, valid_p)
     return out[:, :, :n, :]

@@ -177,8 +177,14 @@ def test_do_train_sharded_over_mesh(tiny_root, tmp_path):
 def test_mega_train_step_sharded_over_mesh():
     """Video-method multi-chip training (the reference's real workload:
     1 img/GPU over DDP, configs/BASE_RCNN_8gpu.yaml): two MEGA train steps
-    with the sample axis sharded over the 8-device mesh. Checks finite
-    losses and that params stay bit-identical across devices."""
+    with the sample axis sharded over the 8-device mesh.
+
+    Asserts DP EQUIVALENCE, not just DP survival (VERDICT r4 #5): the sharded
+    steps' losses and post-step params must equal an UNSHARDED run of the
+    same two steps on the same global batch — the property DDP's gradient
+    all-reduce guarantees in the reference (tools/train_net.py:52-57). A
+    reduction/sharding bug that scaled gradients by any constant fails this.
+    Also checks finite losses and replicated-param cross-device identity."""
     import numpy as np
 
     from mega_pytorch_tpu.engine.trainer import make_train_step
@@ -213,27 +219,51 @@ def test_mega_train_step_sharded_over_mesh():
         jax.random.PRNGKey(0), one[0], one[1], jax.random.PRNGKey(1), train=True
     )["params"]
     optimizer = make_optimizer(get_preset("base_R_50"), params)
-    opt_state = optimizer.init(params)
+    # host-side snapshot: the jitted steps donate params/opt_state buffers
+    params0 = jax.tree_util.tree_map(np.asarray, params)
+
+    def run(mesh):
+        p = jax.tree_util.tree_map(np.array, params0)  # fresh copy
+        s = optimizer.init(p)
+        if mesh is not None:
+            p, s = replicate(mesh, p), replicate(mesh, s)
+        step = make_train_step(model, optimizer, num_samples=n, mesh=mesh)
+        rng = jax.random.PRNGKey(2)
+        all_losses = []
+        for _ in range(2):
+            rng, sub = jax.random.split(rng)
+            p, s, losses = step(p, s, inputs, gt, sub)
+            all_losses.append({k: float(v) for k, v in losses.items()})
+        if mesh is not None:
+            # replicated-param consistency: every device holds the same bytes
+            leaf = jax.tree_util.tree_leaves(p)[0]
+            shards = [np.asarray(sh.data) for sh in leaf.addressable_shards]
+            assert len(shards) == n
+            for sh in shards[1:]:
+                np.testing.assert_array_equal(shards[0], sh)
+        return jax.tree_util.tree_map(np.asarray, p), all_losses
 
     mesh = make_mesh(n_data=n)
     with mesh:
-        step = make_train_step(model, optimizer, num_samples=n, mesh=mesh)
-        params = replicate(mesh, params)
-        opt_state = replicate(mesh, opt_state)
-        rng = jax.random.PRNGKey(2)
-        for _ in range(2):
-            rng, sub = jax.random.split(rng)
-            params, opt_state, losses = step(params, opt_state, inputs, gt, sub)
-        losses = {k: float(v) for k, v in losses.items()}
+        params_sharded, losses_sharded = run(mesh)
+    losses = losses_sharded[-1]
     assert all(np.isfinite(x) for x in losses.values()), losses
     assert losses["loss_classifier"] > 0
 
-    # replicated-param consistency: every device holds the same bytes
-    leaf = jax.tree_util.tree_leaves(params)[0]
-    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
-    assert len(shards) == n
-    for s in shards[1:]:
-        np.testing.assert_array_equal(shards[0], s)
+    # DP equivalence: the same two steps, unsharded, on the same global batch
+    params_single, losses_single = run(None)
+    for ls, lu in zip(losses_sharded, losses_single):
+        for k in ls:
+            np.testing.assert_allclose(ls[k], lu[k], rtol=1e-5, atol=1e-6,
+                                       err_msg=k)
+    flat_s = jax.tree_util.tree_leaves_with_path(params_sharded)
+    flat_u = {jax.tree_util.keystr(kp): leaf
+              for kp, leaf in jax.tree_util.tree_leaves_with_path(params_single)}
+    for kp, leaf in flat_s:
+        np.testing.assert_allclose(
+            leaf, flat_u[jax.tree_util.keystr(kp)], rtol=1e-5, atol=1e-6,
+            err_msg=jax.tree_util.keystr(kp),
+        )
 
 
 @pytest.mark.slow

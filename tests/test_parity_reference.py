@@ -814,3 +814,173 @@ def test_rdn_streaming_parity(tmp_path, advanced_stage):
 
     our_outs = _run_ours_streaming(params, model, frames)
     _assert_frames_match(ref_outs, our_outs)
+
+
+# -- shipped-scale MEGA parity (VERDICT r4 ask #3) ------------------------------
+
+@pytest.mark.slow
+def test_mega_streaming_parity_product_geometry(tmp_path):
+    """MEGA live-reference streaming parity AT PRODUCT GEOMETRY: R-101,
+    544x960 canvas, PRE/POST/REF = 6000/300/75, window 25 (key slot 12),
+    3 attention stages, memory 25, global cache 10, global res-stage 1 —
+    the configuration of /root/reference/configs/MEGA/vid_R_101_C4_MEGA_1x.yaml
+    (+ BASE_RCNN_1gpu.yaml + mega_core/config/defaults.py:413-447), which the
+    regular parity suite only exercises in a shrunken 96x128/300/30/10 proxy.
+
+    This is the only test that can see scale-dependent drift: fp accumulation
+    over the 6000-candidate NMS, full-depth 25-slot window/LRM indexing, and
+    the stage-3 attention stack at 675-query/3750-ref shapes. 5 frames (the
+    window stays partially filled — validity masking at scale is part of what
+    is under test). Expensive: ~30 torch R-101 passes + the XLA compile of
+    the full-scale graph; minutes-to-tens-of-minutes on one CPU core."""
+    from mega_pytorch_tpu.models.detectors.mega import GeneralizedRCNNMEGA
+    from mega_pytorch_tpu.models.detectors.rdn import VidConfig
+    from mega_pytorch_tpu.structures.image_list import ImageBatch
+
+    H, W = 544, 960
+    T, K, G, SEG = 25, 12, 10, 5
+    PRE, POST, REFN, DETS_P = 6000, 300, 75, 300
+
+    # structured frames with temporal drift at the product canvas
+    rs = np.random.RandomState(17)
+    base = rs.rand(H // 8, W // 8, 3) * 255
+    frames = []
+    for f in range(SEG):
+        drift = np.roll(base, 3 * f, axis=1) * (0.8 + 0.04 * f)
+        img = np.kron(drift, np.ones((8, 8, 1)))
+        img += rs.rand(H, W, 3) * 20
+        frames.append(np.clip(img, 0, 255).astype(np.uint8))
+
+    def norm(f):
+        return _norm_rgb(frames[f])
+
+    def schedule(f):
+        size = G if f == 0 else 1
+        return [(f + G - i - 1) % SEG for i in range(size)]
+
+    # -- reference stack (torch CPU) --
+    load_reference()
+    from mega_core.modeling.detector import build_detection_model
+    from mega_core.structures.image_list import to_image_list
+
+    torch.manual_seed(0)
+    cfg = make_ref_vid_cfg(depth=101, pre_nms=PRE, post_nms=POST,
+                           detections=DETS_P)
+    cfg.MODEL.META_ARCHITECTURE = "GeneralizedRCNNMEGA"
+    cfg.MODEL.ROI_BOX_HEAD.FEATURE_EXTRACTOR = "MEGAFeatureExtractor"
+    cfg.MODEL.VID.ENABLE = True
+    cfg.MODEL.VID.METHOD = "mega"
+    cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION.ENABLE = True
+    cfg.MODEL.VID.ROI_BOX_HEAD.ATTENTION.STAGE = 3
+    cfg.MODEL.VID.RPN.REF_PRE_NMS_TOP_N = PRE
+    cfg.MODEL.VID.RPN.REF_POST_NMS_TOP_N = REFN
+    cfg.MODEL.VID.MEGA.ALL_FRAME_INTERVAL = T
+    cfg.MODEL.VID.MEGA.KEY_FRAME_LOCATION = K
+    cfg.MODEL.VID.MEGA.RATIO = 0.2
+    cfg.MODEL.VID.MEGA.MEMORY.ENABLE = True
+    cfg.MODEL.VID.MEGA.MEMORY.SIZE = T
+    cfg.MODEL.VID.MEGA.GLOBAL.ENABLE = True
+    cfg.MODEL.VID.MEGA.GLOBAL.SIZE = G
+    cfg.MODEL.VID.MEGA.GLOBAL.RES_STAGE = 1
+    cfg.MODEL.VID.MEGA.GLOBAL.SHUFFLE = False
+    ref_model = _temper(build_detection_model(cfg).eval())
+
+    from PIL import Image as PILImage
+
+    for f, u8 in enumerate(frames):
+        PILImage.fromarray(u8).save(tmp_path / f"{f:06d}.png")
+
+    def tf(img, target=None):
+        arr = _norm_rgb(np.asarray(img.convert("RGB")))
+        return (
+            torch.from_numpy(np.ascontiguousarray(arr.transpose(2, 0, 1))),
+            target,
+        )
+
+    def il(f):
+        t = torch.from_numpy(np.ascontiguousarray(norm(f).transpose(2, 0, 1)))
+        return to_image_list([t])
+
+    max_offset = T - K - 1
+    ref_outs = []
+    with torch.no_grad():
+        for f in range(SEG):
+            images = {
+                "cur": il(f),
+                "ref_l": [il(min(SEG - 1, f + max_offset))],
+                "ref_g": [il(g) for g in schedule(f)],
+                "frame_category": 0 if f == 0 else 1,
+                "seg_len": SEG,
+                "pattern": "%06d",
+                "img_dir": str(tmp_path) + "/%s.png",
+                "transforms": tf,
+            }
+            o = ref_model(images)[0]
+            ref_outs.append(
+                (o.bbox.numpy(), o.get_field("scores").numpy(),
+                 o.get_field("labels").numpy())
+            )
+
+    # -- our stack (same weights via the checkpoint converter) --
+    c = _our_cfg(
+        depth="R-101",
+        reduce_channel=False,
+        pre_nms_top_n_test=PRE,
+        post_nms_top_n_test=POST,
+        ref_pre_nms_top_n=PRE,
+        ref_post_nms_top_n=REFN,
+        detections_per_img=DETS_P,
+    )
+    v = VidConfig(
+        method="mega", base_stage=3, ratio=0.2,
+        all_frame_interval=T, key_frame_location=K,
+        memory_enable=True, memory_size=T,
+        global_enable=True, global_size=G, global_res_stage=1,
+    )
+    model = GeneralizedRCNNMEGA(c=c, v=v)
+    M = GeneralizedRCNNMEGA
+
+    def ib(f):
+        return ImageBatch(
+            tensors=norm(f)[None],
+            sizes=np.array([[float(H), float(W)]], np.float32),
+        )
+
+    one = ib(0)
+    tmp = jit_init(model, jax.random.PRNGKey(0), one, method=M.precompute)["params"]
+    entry = model.apply({"params": tmp}, one, method=M.precompute)
+    carry = model.apply({"params": tmp}, entry, one.sizes[0], method=M.init_carry)
+    init = jit_init(model, jax.random.PRNGKey(0), carry, one, method=M.test_step)["params"]
+    params = _ingest_by_init(ref_model, init)
+
+    jit = lambda m: jax.jit(  # noqa: E731
+        lambda p, *a: model.apply({"params": p}, *a, method=m)
+    )
+    pre, initc = jit(M.precompute), jit(M.init_carry)
+    push, updg, detect = jit(M.push_carry), jit(M.update_global), jit(M.detect_key)
+
+    our_outs = []
+    carry = None
+    for f in range(SEG):
+        if f == 0:
+            entry = pre(params, ib(0))
+            carry = initc(params, entry, ib(0).sizes[0])
+            end_id = 0
+            for _ in range(T - K - 1):
+                end_id = min(end_id + 1, SEG - 1)
+                carry = push(params, carry, pre(params, ib(end_id)),
+                             ib(end_id).sizes[0])
+        else:
+            nxt = min(SEG - 1, f + max_offset)
+            carry = push(params, carry, pre(params, ib(nxt)), ib(nxt).sizes[0])
+        for g in schedule(f):
+            carry = updg(params, carry, ib(g))
+        carry, dets = detect(params, carry)
+        vmask = np.asarray(dets.valid[0])
+        our_outs.append(
+            (np.asarray(dets.boxes[0])[vmask],
+             np.asarray(dets.scores[0])[vmask],
+             np.asarray(dets.labels[0])[vmask])
+        )
+
+    _assert_frames_match(ref_outs, our_outs)
