@@ -205,15 +205,17 @@ class Stem(nn.Module):
         # (same default init as nn.Conv), shared by both conv forms
         w7 = _StemConv1(name="conv1", features=self.out_channels)()
         if x.shape[-1] == 48:  # s2d(4)-packed RGB → exact 3x3/1 reformulation
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype),
-                s2d4_stem_kernel(w7).astype(self.dtype),
-                window_strides=(1, 1),
-                padding=[(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )  # (N, H/4, W/4, 4*O): blocks (a', b') of O
-            n, t, u, _ = y.shape
             o = self.out_channels
+            w3 = s2d4_stem_kernel(w7).astype(self.dtype)
+
+            def conv3(z):
+                return jax.lax.conv_general_dilated(
+                    z.astype(self.dtype), w3,
+                    window_strides=(1, 1),
+                    padding=[(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+
             if jax.default_backend() == "tpu" and self.norm != "gn":
                 # one-pass Pallas epilogue: BN affine + relu + packed maxpool
                 # at the bandwidth floor (read y once, write the 1/4-size
@@ -227,9 +229,31 @@ class Stem(nn.Module):
                 scale = bn1(jnp.ones((o,), self.dtype)).astype(
                     jnp.float32
                 ) - shift
+                n0, tp, up, _ = x.shape
+                if n0 > 1:
+                    # FOLD the batch into H (one zero row between frames):
+                    # at batch 1 the conv emitter's batch-minor output layout
+                    # coincides with the Pallas kernel's row-major input, so
+                    # the 0.12 ms/frame conv->kernel relayout disappears.
+                    # Exact per frame — the inserted zero row IS each frame's
+                    # pad-1 boundary (top pad of frame i+1 == bottom pad of
+                    # frame i == zeros), and the pool kernel masks its row
+                    # halo at frame-first blocks (frame_rows). Junk rows
+                    # (conv/pool outputs at the seams) are sliced off.
+                    s = tp + 1
+                    strip = jnp.pad(
+                        x, ((0, 0), (0, 1), (0, 0), (0, 0))
+                    ).reshape(1, n0 * s, up, 48)
+                    p = stem_pool_packed(
+                        conv3(strip), jnp.tile(scale, 4), jnp.tile(shift, 4),
+                        o, frame_rows=s,
+                    )
+                    return p.reshape(n0, s, up, o)[:, :tp]
                 return stem_pool_packed(
-                    y, jnp.tile(scale, 4), jnp.tile(shift, 4), o
+                    conv3(x), jnp.tile(scale, 4), jnp.tile(shift, 4), o
                 )
+            y = conv3(x)  # (N, H/4, W/4, 4*O): blocks (a', b') of O
+            n, t, u, _ = y.shape
             y = y.reshape(n, t, u, 2, 2, o)
             y = make_norm(self.norm, o, self.dtype, "bn1")(y)
             y = nn.relu(y)

@@ -100,10 +100,11 @@ def _postprocess_one(
     proposals = clip_to_image(proposals, im_size[0], im_size[1])
     valid = small_box_mask(proposals, sizes.min_size)
     # proposals/scores ride the NMS sorts as payload — no post-hoc gathers
-    # (see ops/nms.py `extras`)
+    # (see ops/nms.py `extras`); top_k's output is already score-descending,
+    # so the NMS rank sort is skipped (presorted)
     _, keep_valid, (kept_boxes, kept_scores) = nms(
         proposals, top_scores, valid, sizes.nms_thresh, sizes.post_nms_top_n,
-        extras=(top_scores,), return_boxes=True,
+        extras=(top_scores,), return_boxes=True, presorted=True,
     )
     return Boxes(
         boxes=kept_boxes,

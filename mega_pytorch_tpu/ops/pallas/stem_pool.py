@@ -40,9 +40,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -3.0e38  # below any bf16/f32 activation; identity for max
 
 
-def _kernel(y_ref, halo_ref, w_ref, b_ref, out_ref, *, out_ch: int):
+def _kernel(y_ref, halo_ref, w_ref, b_ref, out_ref, *, out_ch: int,
+            tile_h: int, frame_rows: int):
     i = pl.program_id(1)
     o = out_ch
+    # frame-first blocks take NO halo (pad-1 maxpool top-border semantics).
+    # Unfolded layout: frame_rows == T, true only at i == 0. Folded layout
+    # (frames stacked along H at stride frame_rows, see stem_pool_folded):
+    # true whenever the block starts a frame.
+    use_halo = (i * tile_h) % frame_rows != 0
 
     def affine(x, lo, hi):
         # w/b stay 2-D (1, width): 1-D slices lower to >2-D gathers on TPU
@@ -66,7 +72,7 @@ def _kernel(y_ref, halo_ref, w_ref, b_ref, out_ref, *, out_ch: int):
     ).reshape(th, uu, 2 * o)
     row0 = jax.lax.broadcasted_iota(jnp.int32, prev.shape, 0) == 0
     prev = jnp.where(
-        row0, jnp.where(i > 0, jnp.broadcast_to(hz, prev.shape), NEG), prev
+        row0, jnp.where(use_halo, jnp.broadcast_to(hz, prev.shape), NEG), prev
     )
     r = jnp.maximum(jnp.maximum(top, bot), prev)  # (TH, U, 2O)
 
@@ -82,7 +88,7 @@ def _kernel(y_ref, halo_ref, w_ref, b_ref, out_ref, *, out_ch: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("out_ch", "tile_h", "interpret")
+    jax.jit, static_argnames=("out_ch", "tile_h", "interpret", "frame_rows")
 )
 def stem_pool_packed(
     y: jnp.ndarray,  # (N, T, U, 4*O) stem conv output, packed phases
@@ -91,14 +97,24 @@ def stem_pool_packed(
     out_ch: int = 64,
     tile_h: int = 19,
     interpret: bool = False,
+    frame_rows: int = 0,  # folded form: frames stacked along T at this
+    # stride (must be a multiple of tile_h); 0 = one frame per batch row
 ) -> jnp.ndarray:
     n, t, u, c4 = y.shape
     assert c4 == 4 * out_ch
-    if t % tile_h:  # pick the largest tile that divides T
-        tile_h = next(h for h in range(min(tile_h, t), 0, -1) if t % h == 0)
+    # pick the largest tile dividing T — and, in the folded form, the frame
+    # stride too, so every frame's first row starts a block (the in-kernel
+    # halo mask keys on block starts)
+    div = frame_rows if frame_rows else t
+    if t % tile_h or div % tile_h:
+        tile_h = next(
+            h for h in range(min(tile_h, t), 0, -1)
+            if t % h == 0 and div % h == 0
+        )
     grid = (n, t // tile_h)
     return pl.pallas_call(
-        functools.partial(_kernel, out_ch=out_ch),
+        functools.partial(_kernel, out_ch=out_ch, tile_h=tile_h,
+                          frame_rows=frame_rows if frame_rows else t),
         out_shape=jax.ShapeDtypeStruct((n, t, u, out_ch), y.dtype),
         grid=grid,
         in_specs=[

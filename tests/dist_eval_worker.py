@@ -68,6 +68,12 @@ params = jax.jit(lambda k, im: model.init(k, im, train=False))(
 starts = [i for i, f in enumerate(ds.frame_seg_id) if f == 0]
 indices = video_shards(starts, len(ds), world)[rank]
 assert indices, (rank, starts)
+# establish the gloo context NOW, while the ranks are still aligned: the
+# context's key-value rendezvous has a hard 30s timeout, and on a 1-core
+# host the per-rank compile+inference skew ahead of the final all_gather
+# can exceed it (observed flake) — once the context exists, later
+# collectives block without that init deadline
+comm.synchronize()
 preds = compute_on_dataset(model, params, ds, indices, prep, "base")
 
 gathered = comm.all_gather(preds)

@@ -312,3 +312,54 @@ def test_stem_pool_packed_kernel_exact():
     np.testing.assert_allclose(
         np.asarray(got_v[1]), np.asarray(xla_chain(y[::-1])), rtol=1e-6
     )
+
+
+def test_stem_pool_folded_matches_per_frame():
+    """The FOLDED stem composition (batch folded into H with one zero input
+    row between frames, batch-1 conv, frame_rows-strided pool kernel, junk
+    rows sliced) equals the per-frame unfolded path exactly — the layout
+    trick resnet.Stem uses on TPU to avoid the conv->kernel relayout.
+
+    Junk seam rows in the pool input are ALSO overwritten with +1e9 poison
+    in a second check to prove the frame-boundary halo masking never reads
+    them."""
+    from mega_pytorch_tpu.models.backbone.resnet import s2d4_stem_kernel
+    from mega_pytorch_tpu.ops.pallas.stem_pool import stem_pool_packed
+
+    o, tp, u, n = 8, 14, 16, 3  # s = tp+1 = 15, tile_h 5
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.rand(n, tp, u, 48), jnp.float32)
+    w7 = jnp.asarray(rng.randn(7, 7, 3, o) * 0.1, jnp.float32)
+    w3 = s2d4_stem_kernel(w7)
+    scale = jnp.asarray(np.tile(rng.rand(o) + 0.5, 4), jnp.float32)
+    shift = jnp.asarray(np.tile(rng.randn(o), 4), jnp.float32)
+
+    def conv3(z):
+        return jax.lax.conv_general_dilated(
+            z, w3, window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    want = stem_pool_packed(conv3(x), scale, shift, o, tile_h=7,
+                            interpret=True)
+
+    s = tp + 1
+    strip = jnp.pad(x, ((0, 0), (0, 1), (0, 0), (0, 0))).reshape(
+        1, n * s, u, 48
+    )
+    y = conv3(strip)
+    got = stem_pool_packed(
+        y, scale, shift, o, tile_h=5, frame_rows=s, interpret=True
+    ).reshape(n, s, u, o)[:, :tp]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    # poison the junk seam rows: outputs must be unchanged
+    seams = np.arange(s - 1, n * s, s)
+    y_poison = np.array(y)
+    y_poison[:, seams] = 1e9
+    got_p = stem_pool_packed(
+        jnp.asarray(y_poison), scale, shift, o, tile_h=5, frame_rows=s,
+        interpret=True,
+    ).reshape(n, s, u, o)[:, :tp]
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want),
+                               rtol=1e-6)

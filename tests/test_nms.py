@@ -173,3 +173,27 @@ def test_extras_match_gather_semantics():
     np.testing.assert_array_equal(np.asarray(val), np.asarray(val0))
     np.testing.assert_array_equal(np.asarray(kb), boxes[np.asarray(idx)])
     np.testing.assert_array_equal(np.asarray(ks), scores[np.asarray(idx)])
+
+
+def test_presorted_matches_unsorted_path():
+    """presorted=True on score-descending input must reproduce the full
+    sort path exactly — keep indices, validity, payload — including with
+    interspersed invalid rows and across the chunked large-N path."""
+    rng = np.random.RandomState(3)
+    for n, chunk in ((300, 1024), (6000, 1024)):
+        boxes = _random_boxes(rng, n, span=600)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        order = np.argsort(-scores, kind="stable")
+        boxes, scores = boxes[order], scores[order]
+        valid = rng.rand(n) > 0.15  # interspersed invalid rows
+        args = (jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid),
+                0.5, 300)
+        kw = dict(chunk=chunk, extras=(jnp.asarray(scores),),
+                  return_boxes=True)
+        i0, v0, (b0, s0) = nms(*args, **kw)
+        i1, v1, (b1, s1) = nms(*args, presorted=True, **kw)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        m = np.asarray(v0)  # invalid slots hold garbage that may differ
+        np.testing.assert_array_equal(np.asarray(i0)[m], np.asarray(i1)[m])
+        np.testing.assert_array_equal(np.asarray(b0)[m], np.asarray(b1)[m])
+        np.testing.assert_array_equal(np.asarray(s0)[m], np.asarray(s1)[m])

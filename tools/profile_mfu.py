@@ -68,6 +68,105 @@ def collect_device_events(trace_dir: str):
     return events
 
 
+def main_train(args, h, w):
+    """MEGA R-101 TRAIN-step profile at the shipped config (VERDICT r4 #7):
+    one sample per step (the reference's 1 img/GPU, BASE_RCNN_1gpu.yaml),
+    full forward + backward + SGD update, train-time frame pools
+    local cur+2 / memory 3 / global 2 (vid_mega.py:30-93), canvas h x w.
+    Single chip; the DP mesh adds only the grad all-reduce."""
+    from mega_pytorch_tpu.config.presets import get_preset
+    from mega_pytorch_tpu.engine.trainer import make_train_step
+    from mega_pytorch_tpu.models.detectors.mega import GeneralizedRCNNMEGA
+    from mega_pytorch_tpu.models.detectors.rcnn import RCNNConfig, pad_gt
+    from mega_pytorch_tpu.models.detectors.rdn import VidConfig
+    from mega_pytorch_tpu.solver import make_optimizer
+    from mega_pytorch_tpu.structures.image_list import ImageBatch
+    from mega_pytorch_tpu.utils.misc import jit_init
+
+    c = RCNNConfig(depth="R-101", compute_dtype="bfloat16")
+    v = VidConfig(method="mega", base_stage=3)
+    model = GeneralizedRCNNMEGA(c=c, v=v)
+    rs = np.random.RandomState(0)
+
+    def images(frames):
+        return ImageBatch(
+            tensors=jnp.asarray(
+                rs.randn(1, frames, h, w, 3) * 50, jnp.float32
+            ),
+            sizes=jnp.tile(
+                jnp.array([[600.0, 1000.0]], jnp.float32), (1, frames, 1)
+            ),
+        )
+
+    inputs = {"local": images(3), "memory": images(3), "global": images(2)}
+    one_gt = pad_gt(
+        np.array([[80.0, 80.0, 400.0, 400.0], [300.0, 200.0, 700.0, 500.0]]),
+        np.array([3, 7]), 32,
+    )
+    gt = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None, None], one_gt)
+
+    one = jax.tree_util.tree_map(lambda x: x[0], (inputs, gt))
+    params = jit_init(
+        model, jax.random.PRNGKey(0), one[0], one[1], jax.random.PRNGKey(1),
+        train=True,
+    )["params"]
+    optimizer = make_optimizer(get_preset("mega_R_101"), params)
+    opt_state = optimizer.init(params)
+    step = make_train_step(model, optimizer, num_samples=1)
+    rng = jax.random.PRNGKey(2)
+
+    lowered = step.lower(params, opt_state, inputs, gt, rng)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    total_flops = float(cost.get("flops", 0.0))
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(compiled.as_text())
+
+    def run_iters(n, p, s):
+        losses = None
+        for _ in range(n):
+            p, s, losses = step(p, s, inputs, gt, rng)
+        return p, s, losses
+
+    params, opt_state, losses = run_iters(1, params, opt_state)  # warmup
+    _ = {k: float(x) for k, x in losses.items()}  # sync
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, losses = run_iters(args.iters, params, opt_state)
+        _ = float(losses["loss_classifier"])
+        times.append((time.perf_counter() - t0) / args.iters)
+    step_s = min(times)
+
+    trace_dir = tempfile.mkdtemp(prefix="mfu_train_trace_")
+    jax.profiler.start_trace(trace_dir)
+    params, opt_state, losses = run_iters(args.iters, params, opt_state)
+    _ = float(losses["loss_classifier"])
+    jax.profiler.stop_trace()
+
+    events = collect_device_events(trace_dir)
+    per_bucket = defaultdict(float)
+    for name, cat, dur, flops in events:
+        per_bucket[cat] += dur
+    total_us = sum(per_bucket.values())
+
+    print(f"\n=== MEGA R-101 TRAIN step (1 sample) @ {h}x{w} ===")
+    print(f"XLA cost model: {total_flops / 1e9:.1f} GFLOP / step (fwd+bwd+SGD)")
+    print(f"end-to-end step: {step_s * 1e3:.2f} ms "
+          f"({1.0 / step_s:.2f} steps/s)")
+    achieved = total_flops / step_s / 1e12
+    print(f"whole-step achieved: {achieved:.1f} TFLOP/s "
+          f"= {100 * achieved / args.peak_tflops:.1f}% MFU (bf16 peak "
+          f"{args.peak_tflops} TFLOP/s)")
+    print(f"\ndevice-time buckets over {args.iters} steps "
+          f"({total_us / 1e3:.2f} ms total):")
+    for b, us in sorted(per_bucket.items(), key=lambda kv: -kv[1]):
+        print(f"  {b:>16s}: {us / args.iters / 1e3:7.3f} ms/step "
+              f"({100 * us / total_us:5.1f}%)")
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--lanes", type=int, default=4)
@@ -75,12 +174,23 @@ def main():
     parser.add_argument("--peak-tflops", type=float, default=197.0)
     parser.add_argument("--canvas", default="608x1024")
     parser.add_argument(
+        "--train", action="store_true",
+        help="profile the MEGA train step (fwd+bwd+SGD, 1 sample) instead "
+        "of the streaming inference step",
+    )
+    parser.add_argument(
         "--dump-hlo", default=None,
         help="write compiled HLO text here (grep fusion.NNN from the trace "
         "to see exactly which convolutions/ops a hot fusion contains)",
     )
     args = parser.parse_args()
     h, w = (int(x) for x in args.canvas.split("x"))
+
+    if args.train:
+        from mega_pytorch_tpu.utils.misc import setup_compilation_cache
+
+        setup_compilation_cache()
+        return main_train(args, h, w)
 
     from mega_pytorch_tpu.models.detectors.mega import build_mega_flagship
     from mega_pytorch_tpu.utils.misc import setup_compilation_cache
